@@ -1,0 +1,74 @@
+"""SSIM compatible with tf.image.ssim (reference loss.py:217-227 uses
+filter_size=7, max_val=255).
+
+Implementation: per-channel Gaussian-windowed local statistics computed with
+depthwise convolutions (VALID padding), the standard (k1, k2) = (0.01, 0.03)
+constants and filter_sigma=1.5 — the exact defaults of tf.image.ssim. The
+windowed reductions are depthwise convs so XLA maps them onto the TPU
+convolution units and fuses the elementwise SSIM map arithmetic around them.
+"""
+
+from functools import lru_cache
+
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+
+
+@lru_cache(maxsize=None)
+def _fspecial_gauss_np(size: int, sigma: float) -> np.ndarray:
+    """1D Gaussian window identical to tf.image's _fspecial_gauss."""
+    coords = np.arange(size, dtype=np.float64) - (size - 1.0) / 2.0
+    g = np.exp(-(coords ** 2) / (2.0 * sigma ** 2))
+    g /= g.sum()
+    return g.astype(np.float64)
+
+
+def _window_reduce(x: jnp.ndarray, window1d: jnp.ndarray) -> jnp.ndarray:
+    """Separable depthwise Gaussian reduction with VALID padding."""
+    c = x.shape[-1]
+    kh = window1d.reshape(-1, 1, 1, 1).astype(x.dtype)
+    kw = window1d.reshape(1, -1, 1, 1).astype(x.dtype)
+    kh = jnp.tile(kh, (1, 1, 1, c))
+    kw = jnp.tile(kw, (1, 1, 1, c))
+    dn = ("NHWC", "HWIO", "NHWC")
+    x = lax.conv_general_dilated(x, kh, (1, 1), "VALID",
+                                 dimension_numbers=dn, feature_group_count=c)
+    x = lax.conv_general_dilated(x, kw, (1, 1), "VALID",
+                                 dimension_numbers=dn, feature_group_count=c)
+    return x
+
+
+def ssim(img1: jnp.ndarray, img2: jnp.ndarray, max_val: float = 255.0,
+         filter_size: int = 11, filter_sigma: float = 1.5,
+         k1: float = 0.01, k2: float = 0.03) -> jnp.ndarray:
+    """Per-image SSIM, shape [batch] (mean over spatial positions and channels)."""
+    window = jnp.asarray(_fspecial_gauss_np(int(filter_size), float(filter_sigma)))
+
+    c1 = (k1 * max_val) ** 2
+    c2 = (k2 * max_val) ** 2
+
+    mu1 = _window_reduce(img1, window)
+    mu2 = _window_reduce(img2, window)
+    mu11 = _window_reduce(img1 * img1, window)
+    mu22 = _window_reduce(img2 * img2, window)
+    mu12 = _window_reduce(img1 * img2, window)
+
+    # luminance term
+    num0 = mu1 * mu2 * 2.0
+    den0 = jnp.square(mu1) + jnp.square(mu2)
+    luminance = (num0 + c1) / (den0 + c1)
+
+    # contrast-structure term: (2*cov + c2) / (var1 + var2 + c2)
+    num1 = (mu12 - mu1 * mu2) * 2.0
+    den1 = (mu11 + mu22) - (jnp.square(mu1) + jnp.square(mu2))
+    cs = (num1 + c2) / (den1 + c2)
+
+    ssim_map = luminance * cs
+    return jnp.mean(ssim_map, axis=(1, 2, 3))
+
+
+def ssim_loss(img1: jnp.ndarray, img2: jnp.ndarray, max_val: float = 255.0,
+              filter_size: int = 7) -> jnp.ndarray:
+    """1 - mean SSIM over the batch (reference loss.py:217-227)."""
+    return 1.0 - jnp.mean(ssim(img1, img2, max_val=max_val, filter_size=filter_size))

@@ -1,0 +1,17 @@
+"""Test harness configuration.
+
+The whole suite runs on CPU with 8 virtual XLA devices so that multi-chip
+sharding paths (DP over a Mesh) are exercised without TPU hardware — the
+JAX-native analog of the reference forcing CUDA_VISIBLE_DEVICES=-1
+(reference tests/conftest.py:3-4).
+
+Must run before jax is imported anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
