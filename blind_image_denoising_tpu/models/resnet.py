@@ -1,0 +1,181 @@
+"""ResNet and ConvNext backbones.
+
+Equivalents of reference backbone_resnet.py:19-298 and
+backbone_convnext.py:103-375 — both are a base conv followed by a stack of
+bias-free residual blocks; the convnext variant turns block-BN off and adds
+a LayerNorm after each block's first conv (reference backbone_blocks.py:51-68).
+
+Config keys follow the reference schema (block_kernels / block_filters /
+block_depthwise / block_groups / block_regularizer / block_activation ...),
+so packaged configs like
+``resnet_color_1x6_bn_32x128x32_1x3x1_128x128_depthwise_l1_relu.json``
+build directly.
+"""
+
+from typing import Any, Dict, List
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..layers.blocks import ResnetBlocks
+from ..layers.conv import conv_block_from_params
+from ..layers.multipliers import ChannelwiseMultiplier, Multiplier
+from ..constants import (
+    DEFAULT_BN_EPSILON, DEFAULT_BN_MOMENTUM,
+    DEFAULT_CHANNELWISE_MULTIPLIER_L1, DEFAULT_MULTIPLIER_L1,
+)
+
+
+def _block_conv_params(cfg: Dict) -> List[Dict]:
+    """Per-block conv parameter tables from the config lists."""
+    block_kernels = list(cfg.get("block_kernels", [3, 3]))
+    block_filters = list(cfg.get("block_filters", [32, 32]))
+    n = len(block_kernels)
+    if not 1 <= n <= 3 or len(block_filters) != n:
+        raise ValueError("block_kernels/block_filters must have matching "
+                         "length in [1, 3]")
+
+    def fill(key, default):
+        v = list(cfg.get(key) or [])
+        return v if len(v) == n else [default] * n
+
+    kernel_regularizer = cfg.get("kernel_regularizer", "l1")
+    kernel_initializer = cfg.get("kernel_initializer", "glorot_normal")
+    activation = cfg.get("activation", "relu")
+    use_bias = cfg.get("use_bias", False)
+
+    block_depthwise = fill("block_depthwise", -1)
+    block_groups = fill("block_groups", 1)
+    block_regularizer = fill("block_regularizer", kernel_regularizer)
+    block_activation = fill("block_activation", activation)
+
+    params = []
+    for i in range(n):
+        p = dict(
+            kernel_size=block_kernels[i],
+            strides=(1, 1),
+            padding="same",
+            use_bias=use_bias,
+            activation=block_activation[i],
+            kernel_regularizer=block_regularizer[i],
+            kernel_initializer=kernel_initializer,
+        )
+        if block_depthwise[i] == -1:
+            p["filters"] = block_filters[i]
+            p["groups"] = block_groups[i]
+        else:
+            p["depth_multiplier"] = block_depthwise[i]
+        params.append(p)
+    # residual-block output conforms to the base activation
+    params[-1]["activation"] = cfg.get("base_activation", "linear")
+    while len(params) < 3:
+        params.append(None)
+    return params
+
+
+class _ResidualSkeleton(nn.Module):
+    """Shared structure of the resnet/convnext backbones."""
+    config: Dict[str, Any]
+    convnext_mode: bool = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> List[jnp.ndarray]:
+        cfg = dict(self.config)
+        use_bias = cfg.get("use_bias", False)
+        use_bn = cfg.get("use_bn", cfg.get("batchnorm", True))
+        kernel_regularizer = cfg.get("kernel_regularizer", "l1")
+        kernel_initializer = cfg.get("kernel_initializer", "glorot_normal")
+
+        base_conv_params = cfg.get("base_conv_params") or dict(
+            kernel_size=cfg.get("kernel_size", 3),
+            filters=cfg.get("filters", 32),
+            strides=(1, 1),
+            padding="same",
+            use_bias=use_bias,
+            activation=cfg.get("base_activation", "linear"),
+            kernel_regularizer=kernel_regularizer,
+            kernel_initializer=kernel_initializer,
+        )
+        conv_params = _block_conv_params(cfg)
+
+        def bn(name):
+            return nn.BatchNorm(
+                use_running_average=not train,
+                momentum=DEFAULT_BN_MOMENTUM, epsilon=DEFAULT_BN_EPSILON,
+                use_bias=use_bias, use_scale=True, dtype=self.dtype, name=name)
+
+        y_input = x
+        x = conv_block_from_params(base_conv_params, "base_conv",
+                                   dtype=self.dtype)(x, train=train)
+
+        if cfg.get("add_initial_bn", self.convnext_mode):
+            x = bn("initial_bn")(x)
+
+        dropout_rate = cfg.get("dropout_rate", -1)
+        selector_params = cfg.get("selector_params", None)
+
+        x = ResnetBlocks(
+            no_layers=cfg.get("no_layers", 1),
+            first_conv_params=conv_params[0],
+            second_conv_params=conv_params[1],
+            third_conv_params=conv_params[2],
+            use_bn=use_bn and not self.convnext_mode,
+            bn_center=use_bias,
+            ln_after_first_conv=self.convnext_mode,
+            use_gate=cfg.get("add_gates", False),
+            dropout_rate=max(0.0, dropout_rate) if dropout_rate != -1 else 0.0,
+            use_multiplier=cfg.get("add_learnable_multiplier", False),
+            use_channelwise=cfg.get("add_channelwise_scaling", False),
+            selector_params=dict(selector_params) if selector_params else None,
+            dtype=self.dtype,
+            name="blocks")(x, train=train)
+
+        if cfg.get("add_final_bn", False):
+            x = bn("final_bn")(x)
+
+        if cfg.get("add_concat_input", False):
+            x = jnp.concatenate([x, y_input], axis=-1)
+
+        if cfg.get("add_channelwise_scaling", False):
+            x = ChannelwiseMultiplier(
+                multiplier=1.0, activation="relu",
+                l1_coefficient=DEFAULT_CHANNELWISE_MULTIPLIER_L1,
+                name="final_channelwise")(x)
+        if cfg.get("add_learnable_multiplier", False):
+            x = Multiplier(
+                multiplier=1.0, activation="relu",
+                l1_coefficient=DEFAULT_MULTIPLIER_L1,
+                name="final_multiplier")(x)
+
+        return [x]
+
+
+class ResnetBackbone(nn.Module):
+    """Bias-free ResNet (reference backbone_resnet.py:19-298)."""
+    config: Dict[str, Any]
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> List[jnp.ndarray]:
+        return _ResidualSkeleton(self.config, convnext_mode=False,
+                                 dtype=self.dtype, name="skeleton")(x, train=train)
+
+
+class ConvNextBackbone(nn.Module):
+    """ConvNext-flavored residual backbone
+    (reference backbone_convnext.py:103-375): no block BN, LayerNorm after
+    the first (depthwise) conv of each block."""
+    config: Dict[str, Any]
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> List[jnp.ndarray]:
+        cfg = dict(self.config)
+        cfg.setdefault("block_kernels", [7, 1, 1])
+        cfg.setdefault("block_filters", [96, 384, 96])
+        cfg.setdefault("block_depthwise", [1, -1, -1])
+        cfg.setdefault("block_activation", ["linear", "gelu", "linear"])
+        cfg.setdefault("activation", "linear")
+        return _ResidualSkeleton(cfg, convnext_mode=True,
+                                 dtype=self.dtype, name="skeleton")(x, train=train)

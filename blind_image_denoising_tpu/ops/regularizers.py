@@ -17,6 +17,7 @@ exists to compare against).
 """
 
 import re
+from collections.abc import Mapping
 from enum import Enum
 from typing import Callable, Dict, List, Tuple, Union
 
@@ -144,7 +145,7 @@ RegFn = Callable[[jnp.ndarray], jnp.ndarray]
 def _builder_helper(config: Union[str, Dict]) -> RegFn:
     if isinstance(config, str):
         reg_type, params = config, {}
-    elif isinstance(config, dict):
+    elif isinstance(config, Mapping):
         reg_type = config.get("type")
         params = dict(config.get("config", {}))
     elif callable(config):
@@ -177,7 +178,7 @@ def builder(config: Union[str, Dict, List]) -> RegFn:
     (reference regularizers.py:81-154)."""
     if config is None:
         raise ValueError("config cannot be None")
-    if isinstance(config, list):
+    if isinstance(config, (list, tuple)):
         fns = [_builder_helper(c) for c in config]
         return lambda w: sum(fn(w) for fn in fns)
     return _builder_helper(config)

@@ -1,0 +1,66 @@
+"""Device mesh + data-parallel sharding helpers.
+
+The scaling recipe (jax-ml scaling-book style): pick a mesh, annotate the
+shardings of step inputs/outputs, let GSPMD insert the collectives. For the
+denoiser workload the natural layout is:
+
+* ``data`` axis — batch dimension of every image tensor (DP). Gradients are
+  means over the global batch, so GSPMD emits one psum over ICI per step;
+  BatchNorm batch statistics likewise become global automatically.
+* ``spatial`` axis (optional) — H dimension for full-frame/4K inference,
+  see parallel/spatial.py.
+
+The reference has no distribution at all (SURVEY §2.9); its only
+batch-scaling device was sequential gradient accumulation
+(train_loop.py:343-348), which we keep as an orthogonal knob inside the
+jitted step (training/train_step.py).
+"""
+
+from typing import Any, Optional, Sequence
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(data: int = -1, spatial: int = 1,
+                devices: Optional[Sequence] = None) -> Mesh:
+    """Create a ('data', 'spatial') mesh. ``data=-1`` → all remaining
+    devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data == -1:
+        if n % spatial != 0:
+            raise ValueError(f"{n} devices not divisible by spatial={spatial}")
+        data = n // spatial
+    if data * spatial > n:
+        raise ValueError(f"mesh {data}x{spatial} needs more than {n} devices")
+    grid = np.array(devices[: data * spatial]).reshape(data, spatial)
+    return Mesh(grid, axis_names=("data", "spatial"))
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch tensors: shard dim 0 over 'data'."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicate_sharding(mesh: Mesh) -> NamedSharding:
+    """Params / scalars: fully replicated."""
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a host batch onto the mesh, sharded over 'data'."""
+    return jax.device_put(batch, data_sharding(mesh))
+
+
+def shard_train_step(train_step, mesh: Mesh):
+    """jit the train step with DP shardings: state replicated, batch
+    sharded on 'data'. GSPMD inserts the gradient/BN psums over ICI."""
+    repl = replicate_sharding(mesh)
+    data = data_sharding(mesh)
+    return jax.jit(
+        train_step,
+        in_shardings=(repl, data, repl, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,))
