@@ -1,0 +1,15 @@
+.PHONY: test bench train-v6 clean
+
+test:
+	python -m pytest tests/ -x -q
+
+bench:
+	python bench.py
+
+train-v6:
+	python -m blind_image_denoising_tpu.train \
+		--pipeline-config blind_image_denoising_tpu/configs/unet_laplacian_v6.json \
+		--checkpoint-directory runs/unet_laplacian_v6
+
+clean:
+	find . -name __pycache__ -type d -exec rm -rf {} +

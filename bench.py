@@ -1,0 +1,60 @@
+"""Benchmark: flagship denoiser (unet_laplacian_v6) inference throughput.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N}
+
+The reference publishes no throughput numbers (SURVEY §6); the driver
+baseline (BASELINE.json) is TF-CPU-derived 256×256 images/sec. We measure
+steady-state jitted forward throughput at batch 8, 256×256×3, on whatever
+accelerator jax.devices() exposes (one TPU chip under the driver).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+BASELINE_IMAGES_PER_SEC = 4.0  # TF 2.13 CPU, unet_laplacian_v6 @256², approx
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import blind_image_denoising_tpu as bid
+    from blind_image_denoising_tpu.models.hydra import model_builder
+
+    cfg = bid.CONFIGS_DICT["unet_laplacian_v6"]
+    results = model_builder(cfg["model"])
+    hydra = results.hydra
+
+    batch, hw = 8, 256
+    x = jnp.asarray(
+        np.random.default_rng(0).uniform(0, 255, (batch, hw, hw, 3))
+        .astype(np.float32))
+    variables = hydra.init({"params": jax.random.PRNGKey(0)},
+                           x[:1], train=False)
+
+    fwd = jax.jit(lambda v, im: hydra.apply(v, im, train=False)[0])
+    # warmup/compile
+    jax.block_until_ready(fwd(variables, x))
+
+    # timed steady state
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(variables, x)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    images_per_sec = batch * iters / dt
+    print(json.dumps({
+        "metric": "unet_laplacian_v6_256px_inference",
+        "value": round(images_per_sec, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -4,10 +4,15 @@ denoising with bias-free CNNs.
 A from-scratch JAX/Flax/Pallas/pjit re-design with the capabilities of
 NikolasMarkou/blind_image_denoising (TF2/Keras reference mounted at
 /root/reference). See SURVEY.md for the component map.
+
+Public API mirrors the reference (__init__.py:21-122): ``configs`` /
+``CONFIGS_DICT``, a ``models`` registry of pretrained artifact dirs with
+lazy loaders, ``load_model`` / ``load_denoiser_model`` /
+``load_default_denoiser``, pyramid builders, and the layer library.
 """
 
 __author__ = "bfcnn-tpu authors"
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 __license__ = "MIT"
 
 import os as _os
@@ -23,6 +28,7 @@ from .ops.pyramid import (
 
 _current_dir = _pathlib.Path(__file__).parent.resolve()
 _configs_dir = _current_dir / "configs"
+_pretrained_dir = _current_dir / "pretrained"
 
 # (filename, config-dict) pairs — same structure as the reference registry
 # (reference __init__.py:40-48)
@@ -35,6 +41,52 @@ CONFIGS_DICT = {
     _os.path.splitext(name)[0]: cfg for name, cfg in configs
 }
 
+# --- pretrained model registry (reference __init__.py:54-75): every
+# subdirectory of pretrained/ holding an exported artifact becomes an entry.
+#
+# NOTE: `models` is ALSO the name of the subpackage; importing it first and
+# then rebinding the attribute keeps `bid.models` == the registry dict (the
+# reference API) while `from blind_image_denoising_tpu.models import ...`
+# keeps resolving to the subpackage via sys.modules.
+from . import models as _models_subpackage  # noqa: F401  (must come first)
+
+models = {}
+if _pretrained_dir.is_dir():
+    for _d in sorted(_pretrained_dir.iterdir()):
+        if _d.is_dir() and (_d / "params.msgpack").is_file():
+            models[_d.name] = {
+                "directory": str(_d),
+                "configuration": str(_d / "pipeline.json"),
+            }
+
+
+def load_model(name_or_path):
+    """Load a pretrained denoiser by registry name or artifact directory
+    path (reference __init__.py:81-97)."""
+    from .inference.export import load_exported_model
+
+    if name_or_path in models:
+        return load_exported_model(models[name_or_path]["directory"])
+    if _os.path.isdir(str(name_or_path)):
+        return load_exported_model(str(name_or_path))
+    raise ValueError(
+        f"[{name_or_path}] is neither a known pretrained model "
+        f"({sorted(models)}) nor an artifact directory")
+
+
+# alias: the reference distinguishes the hydra SavedModel from the uint8
+# DenoiserModule; here both load to the same any-size uint8 Denoiser
+load_denoiser_model = load_model
+
+
+def load_default_denoiser():
+    """Load the first packaged pretrained denoiser
+    (reference __init__.py:119-122)."""
+    if not models:
+        raise ValueError("no pretrained models packaged")
+    return load_model(sorted(models)[0])
+
+
 __all__ = [
     "logger",
     "load_config",
@@ -43,6 +95,10 @@ __all__ = [
     "ops",
     "configs",
     "CONFIGS_DICT",
+    "models",
+    "load_model",
+    "load_denoiser_model",
+    "load_default_denoiser",
     "build_pyramid_model",
     "build_inverse_pyramid_model",
 ]

@@ -1,0 +1,181 @@
+"""Config-driven training dataset.
+
+Equivalent of reference dataset.py:40-305, re-split for TPU: the host does
+discovery → decode → random crops → shuffle → batch → threaded prefetch and
+yields CLEAN float32 [B, H, W, C] batches in [0, 255]; geometric flips and
+noise corruption run fused on-device inside the jitted train step
+(training/train_step.py), keyed per sample — preserving the reference's
+independent-noise-per-sample property (dataset.py:161-238, README claim #8).
+
+Parsed-but-unused reference options (random_rotate / random_blur /
+use_jpeg_noise / quantization / inpaint_drop_rate — dataset.py:83-105) are
+accepted for config compatibility and ignored the same way.
+"""
+
+import queue
+import random
+import threading
+from collections import namedtuple
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from ..logger import logger
+from .file_operations import image_filenames, load_image
+
+DatasetResults = namedtuple(
+    "DatasetResults",
+    ["config", "batch_size", "input_shape", "training", "testing"])
+
+
+def random_crops(image: np.ndarray, crop_size, no_crops: int,
+                 rng: random.Random) -> List[np.ndarray]:
+    """``no_crops`` random HxW crops (reference utilities.py:466-561 uses
+    crop_and_resize with random boxes; plain random windows are equivalent
+    for same-size crops). Images smaller than the crop are edge-padded."""
+    ch, cw = int(crop_size[0]), int(crop_size[1])
+    h, w = image.shape[:2]
+    if h < ch or w < cw:
+        pad_h, pad_w = max(0, ch - h), max(0, cw - w)
+        image = np.pad(image, ((0, pad_h), (0, pad_w), (0, 0)), mode="reflect")
+        h, w = image.shape[:2]
+    crops = []
+    for _ in range(no_crops):
+        y = rng.randint(0, h - ch)
+        x = rng.randint(0, w - cw)
+        crops.append(image[y:y + ch, x:x + cw])
+    return crops
+
+
+class _EpochIterable:
+    """One pass over all files per iteration, reshuffled each epoch and
+    decoded by a thread pool with bounded prefetch."""
+
+    def __init__(self, files: List[str], batch_size: int, crop_size,
+                 no_crops_per_image: int, num_channels: int,
+                 seed: int = 0, num_workers: int = 8,
+                 prefetch_batches: int = 4):
+        self._files = files
+        self._batch_size = batch_size
+        self._crop_size = crop_size
+        self._no_crops = no_crops_per_image
+        self._channels = num_channels
+        self._seed = seed
+        self._epoch = 0
+        self._workers = num_workers
+        self._prefetch = prefetch_batches
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        self._epoch += 1
+        rng = random.Random(self._seed + self._epoch)
+        files = list(self._files)
+        rng.shuffle(files)
+
+        out_q: "queue.Queue" = queue.Queue(
+            maxsize=self._prefetch * self._batch_size + self._batch_size)
+        stop = threading.Event()
+        file_iter = iter(files)
+        lock = threading.Lock()
+
+        def worker(worker_id: int):
+            wrng = random.Random((self._seed, self._epoch, worker_id).__hash__())
+            while not stop.is_set():
+                with lock:
+                    path = next(file_iter, None)
+                if path is None:
+                    out_q.put(None)
+                    return
+                try:
+                    img = load_image(path, num_channels=self._channels,
+                                     dtype=np.float32)
+                except Exception as e:  # corrupt file: skip
+                    logger.warning(f"failed to decode [{path}]: {e}")
+                    continue
+                for crop in random_crops(img, self._crop_size,
+                                         self._no_crops, wrng):
+                    out_q.put(np.ascontiguousarray(crop))
+
+        threads = [threading.Thread(target=worker, args=(i,), daemon=True)
+                   for i in range(self._workers)]
+        for t in threads:
+            t.start()
+
+        try:
+            done_workers = 0
+            buf: List[np.ndarray] = []
+            while done_workers < self._workers:
+                item = out_q.get()
+                if item is None:
+                    done_workers += 1
+                    continue
+                buf.append(item)
+                if len(buf) >= self._batch_size:
+                    rng.shuffle(buf)
+                    yield np.stack(buf[: self._batch_size], axis=0)
+                    buf = buf[self._batch_size:]
+            # drop remainder (reference batches with drop_remainder=True)
+        finally:
+            stop.set()
+
+
+class SyntheticDataset:
+    """Deterministic synthetic image stream for tests/benchmarks when no
+    dataset directories exist: smooth random gradients + shapes, [0, 255]."""
+
+    def __init__(self, batch_size: int, crop_size, num_channels: int = 3,
+                 batches_per_epoch: int = 16, seed: int = 0):
+        self._bs = batch_size
+        self._hw = (int(crop_size[0]), int(crop_size[1]))
+        self._c = num_channels
+        self._n = batches_per_epoch
+        self._seed = seed
+
+    def __iter__(self):
+        rng = np.random.default_rng(self._seed)
+        h, w = self._hw
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        for _ in range(self._n):
+            batch = np.empty((self._bs, h, w, self._c), np.float32)
+            for b in range(self._bs):
+                fx, fy = rng.uniform(0.5, 4.0, 2)
+                phase = rng.uniform(0, 2 * np.pi, 2)
+                base = (np.sin(2 * np.pi * fx * xx / w + phase[0])
+                        + np.cos(2 * np.pi * fy * yy / h + phase[1]))
+                img = (base - base.min()) / max(float(np.ptp(base)), 1e-6)
+                for c in range(self._c):
+                    gain = rng.uniform(0.6, 1.0)
+                    batch[b, :, :, c] = np.round(img * 255.0 * gain)
+            yield batch
+
+
+def dataset_builder(config: Dict) -> DatasetResults:
+    """Build the training data stream from a ``dataset`` config section
+    (reference dataset.py:40-305 schema)."""
+    batch_size = config["batch_size"]
+    input_shape = list(config["input_shape"])
+    color_mode = (config.get("color_mode", "rgb") or "rgb").strip().lower()
+    num_channels = {"rgb": 3, "rgba": 4, "grayscale": 1}[color_mode]
+    no_crops = max(1, int(config.get("no_crops_per_image", 1)))
+    crop_size = (input_shape[0], input_shape[1])
+
+    directories = [i["directory"] for i in config.get("inputs", [])]
+    files: List[str] = []
+    for d in directories:
+        found = image_filenames(d)
+        logger.info(f"dataset dir [{d}]: {len(found)} images")
+        files.extend(found)
+
+    if files:
+        training = _EpochIterable(
+            files, batch_size=batch_size, crop_size=crop_size,
+            no_crops_per_image=no_crops, num_channels=num_channels)
+    else:
+        logger.warning("no dataset images found; using synthetic stream")
+        training = SyntheticDataset(batch_size, crop_size, num_channels)
+
+    return DatasetResults(
+        config=config,
+        batch_size=batch_size,
+        input_shape=input_shape,
+        training=training,
+        testing=None)

@@ -1,0 +1,34 @@
+"""Export CLI: ``python -m blind_image_denoising_tpu.export``
+(reference bfcnn/export.py:18-76)."""
+
+import argparse
+import sys
+
+from .inference.export import export_model
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        description="export a trained denoiser to a standalone artifact dir")
+    parser.add_argument("--pipeline-config", required=True, type=str)
+    parser.add_argument("--checkpoint-directory", required=True, type=str)
+    parser.add_argument("--output-directory", required=True, type=str)
+    parser.add_argument("--to-stablehlo", action="store_true", default=True,
+                        help="also serialize a StableHLO compiled artifact")
+    parser.add_argument("--no-stablehlo", dest="to_stablehlo",
+                        action="store_false")
+    parser.add_argument("--test-model", action="store_true",
+                        help="run an inference self-test after export")
+    args = parser.parse_args(argv)
+
+    export_model(
+        pipeline_config=args.pipeline_config,
+        checkpoint_directory=args.checkpoint_directory,
+        output_directory=args.output_directory,
+        to_stablehlo=args.to_stablehlo,
+        test_model=args.test_model)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,117 @@
+"""Model export / import.
+
+Equivalent of reference export_model.py:21-164 (SavedModel + TFLite), in
+JAX-native artifacts:
+
+* ``params.msgpack`` — flax-serialized variables (params + batch_stats)
+* ``pipeline.json`` — the as-run pipeline config (rebuildable model)
+* ``denoiser.stablehlo`` — optional ``jax.export`` StableHLO bytes of the
+  jitted forward at a reference shape (the SavedModel/TFLite analog: a
+  self-contained compiled artifact loadable without Python model code)
+
+``load_exported_model`` rebuilds the hydra from the saved config and
+returns a ready :class:`Denoiser`.
+"""
+
+import json
+import os
+from pathlib import Path
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+import flax.serialization
+
+from ..config import load_config, save_config
+from ..logger import logger
+from ..models.hydra import model_builder
+from .denoiser import Denoiser
+
+PARAMS_FILE = "params.msgpack"
+CONFIG_FILE = "pipeline.json"
+STABLEHLO_FILE = "denoiser.stablehlo"
+
+
+def export_model(
+        pipeline_config: Union[str, dict, Path],
+        checkpoint_directory: Union[str, Path],
+        output_directory: Union[str, Path],
+        to_stablehlo: bool = True,
+        test_model: bool = False,
+        reference_shape=(1, 256, 256, 3)) -> str:
+    """Restore the latest checkpoint and write a standalone artifact dir."""
+    from ..training.checkpoint import CheckpointManager
+    from ..training.train_state import create_train_state
+    from ..training.optimizer import optimizer_builder
+
+    config = load_config(pipeline_config)
+    out_dir = Path(str(output_directory))
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    # rebuild model, restore checkpoint
+    results = model_builder(config["model"])
+    tx, _ = optimizer_builder(config["train"]["optimizer"])
+    rng = jax.random.PRNGKey(0)
+    shape = config["dataset"]["input_shape"]
+    sample = jnp.zeros((1, shape[0], shape[1], shape[2]), jnp.float32)
+    state = create_train_state(results.hydra, tx, rng, sample)
+    manager = CheckpointManager(str(checkpoint_directory))
+    if manager.latest_step() is None:
+        raise ValueError(
+            f"no checkpoint found in [{checkpoint_directory}]")
+    state = manager.restore(state)
+
+    variables = {"params": state.params}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
+
+    # write artifacts
+    with open(out_dir / PARAMS_FILE, "wb") as f:
+        f.write(flax.serialization.to_bytes(variables))
+    save_config(config, str(out_dir / CONFIG_FILE))
+    logger.info(f"wrote {out_dir / PARAMS_FILE}")
+
+    if to_stablehlo:
+        try:
+            from jax import export as jax_export
+            fwd = jax.jit(lambda x: results.hydra.apply(
+                variables, x, train=False)[0])
+            exported = jax_export.export(fwd)(
+                jax.ShapeDtypeStruct(reference_shape, jnp.float32))
+            with open(out_dir / STABLEHLO_FILE, "wb") as f:
+                f.write(exported.serialize())
+            logger.info(f"wrote {out_dir / STABLEHLO_FILE}")
+        except Exception as e:
+            logger.warning(f"stablehlo export skipped: {e}")
+
+    if test_model:
+        denoiser = load_exported_model(out_dir)
+        import numpy as np
+        probe = (np.ones((64, 64, shape[2]), np.uint8) * 128)
+        out = denoiser(probe)
+        assert out.shape == probe.shape, "export self-test failed"
+        logger.info("export self-test passed")
+
+    return str(out_dir)
+
+
+def load_exported_model(directory: Union[str, Path],
+                        cast_to_uint8: bool = True) -> Denoiser:
+    """Load an exported artifact directory into a ready Denoiser."""
+    directory = Path(str(directory))
+    config = load_config(str(directory / CONFIG_FILE))
+    results = model_builder(config["model"])
+
+    # build a template then overwrite with saved bytes
+    rng = jax.random.PRNGKey(0)
+    shape = config["dataset"]["input_shape"]
+    sample = jnp.zeros((1, int(shape[0] or 64), int(shape[1] or 64),
+                        shape[2]), jnp.float32)
+    template = results.hydra.init({"params": rng}, sample, train=False)
+    # init exposes every collection (incl. sown 'losses'); the artifact
+    # only carries params + batch_stats
+    template = {k: v for k, v in template.items()
+                if k in ("params", "batch_stats")}
+    with open(directory / PARAMS_FILE, "rb") as f:
+        variables = flax.serialization.from_bytes(template, f.read())
+    return Denoiser(results.hydra, variables, cast_to_uint8=cast_to_uint8)

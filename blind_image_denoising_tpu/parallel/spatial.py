@@ -62,19 +62,32 @@ def denoise_spatially_sharded(
         # x: local slab [B, H/n, W, C]
         if n_spatial == 1:
             return apply_fn(vars_, x)
+        local_h = x.shape[1]
         idx = lax.axis_index("spatial")
         up = [(i, (i + 1) % n_spatial) for i in range(n_spatial)]
         down = [(i, (i - 1) % n_spatial) for i in range(n_spatial)]
         # halo from the neighbor above (its bottom rows) and below (its top rows)
         halo_top = lax.ppermute(x[:, -margin:], "spatial", up)
         halo_bot = lax.ppermute(x[:, :margin], "spatial", down)
-        # boundary shards get zero halos (same as zero conv padding)
-        halo_top = jnp.where(idx == 0, jnp.zeros_like(halo_top), halo_top)
-        halo_bot = jnp.where(idx == n_spatial - 1,
-                             jnp.zeros_like(halo_bot), halo_bot)
-        padded = jnp.concatenate([halo_top, x, halo_bot], axis=1)
-        y = apply_fn(vars_, padded)
-        return y[:, margin:-margin]
+        zeros = jnp.zeros_like(halo_top)
+
+        # Boundary shards must present the true image edge AT the slab edge:
+        # zero-filled halos are NOT equivalent, because deeper conv layers'
+        # SAME padding is zero in their own feature space, not in input
+        # space. So the top/bottom shards shift their rows flush against
+        # the slab boundary and crop asymmetrically.
+        branch = jnp.where(idx == 0, 0,
+                           jnp.where(idx == n_spatial - 1, 2, 1))
+        slab = lax.switch(
+            branch,
+            [lambda: jnp.concatenate([x, halo_bot, zeros], axis=1),
+             lambda: jnp.concatenate([halo_top, x, halo_bot], axis=1),
+             lambda: jnp.concatenate([zeros, halo_top, x], axis=1)])
+        start = jnp.where(idx == 0, 0,
+                          jnp.where(idx == n_spatial - 1, 2 * margin, margin))
+
+        y = apply_fn(vars_, slab)
+        return lax.dynamic_slice_in_dim(y, start, local_h, axis=1)
 
     sharded = shard_map(
         _local, mesh=mesh,

@@ -1,0 +1,41 @@
+"""Training CLI: ``python -m blind_image_denoising_tpu.train``
+(reference bfcnn/train.py:20-67)."""
+
+import argparse
+import os
+import sys
+
+from .logger import logger
+from .training.train_loop import train_loop
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description="train a blind image denoiser")
+    parser.add_argument(
+        "--pipeline-config", required=True, type=str,
+        help="pipeline configuration path (JSON)")
+    parser.add_argument(
+        "--checkpoint-directory", required=True, type=str,
+        help="directory to save checkpoints / metrics into")
+    parser.add_argument(
+        "--weights-directory", default=None, type=str,
+        help="checkpoint directory to load fine-tune weights from")
+    parser.add_argument(
+        "--total-steps", default=None, type=int,
+        help="override train.total_steps (stop after N applied steps)")
+    args = parser.parse_args(argv)
+
+    if not os.path.isfile(args.pipeline_config):
+        logger.error(f"pipeline config [{args.pipeline_config}] not found")
+        return 1
+
+    train_loop(
+        pipeline_config=args.pipeline_config,
+        checkpoint_directory=args.checkpoint_directory,
+        weights_directory=args.weights_directory,
+        total_steps_override=args.total_steps)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -34,6 +34,8 @@ class CheckpointManager:
 
     def save(self, state: TrainState, force: bool = False) -> bool:
         step = int(state.step)
+        if step in self._mgr.all_steps():
+            return False  # idempotent: epoch-end + final save can coincide
         saved = self._mgr.save(
             step, args=ocp.args.StandardSave(state), force=force)
         if saved:

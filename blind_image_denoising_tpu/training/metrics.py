@@ -1,0 +1,61 @@
+"""Training observability: JSONL metrics log + optional TensorBoard.
+
+Equivalent of the reference's TensorBoard summaries
+(reference train_loop.py:136-138,439-580). The primary sink is an
+append-only ``metrics.jsonl`` (robust, dependency-free, machine-readable);
+TensorBoard scalars/images are written too when a SummaryWriter
+implementation is importable (torch.utils.tensorboard).
+"""
+
+import json
+import os
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..logger import logger
+
+
+class MetricsWriter:
+    def __init__(self, directory: str):
+        os.makedirs(directory, exist_ok=True)
+        self._path = os.path.join(directory, "metrics.jsonl")
+        self._file = open(self._path, "a")
+        self._tb = None
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            self._tb = SummaryWriter(log_dir=directory)
+        except Exception:
+            logger.info("tensorboard writer unavailable; JSONL only")
+
+    def scalars(self, step: int, values: Dict[str, float],
+                prefix: str = ""):
+        rec = {"step": int(step), "time": time.time()}
+        for k, v in values.items():
+            key = f"{prefix}{k}" if prefix else k
+            rec[key] = float(np.asarray(v))
+            if self._tb is not None:
+                self._tb.add_scalar(key, rec[key], int(step))
+        self._file.write(json.dumps(rec) + "\n")
+        self._file.flush()
+
+    def text(self, step: int, tag: str, content: str):
+        if self._tb is not None:
+            self._tb.add_text(tag, content, int(step))
+
+    def images(self, step: int, tag: str, batch: np.ndarray):
+        """[B, H, W, C] float in [0, 255]."""
+        if self._tb is None:
+            return
+        imgs = np.clip(np.asarray(batch), 0, 255).astype(np.uint8)
+        self._tb.add_images(tag, imgs, int(step), dataformats="NHWC")
+
+    def figure(self, step: int, tag: str, fig):
+        if self._tb is not None:
+            self._tb.add_figure(tag, fig, int(step))
+
+    def close(self):
+        self._file.close()
+        if self._tb is not None:
+            self._tb.close()

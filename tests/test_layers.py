@@ -1,0 +1,167 @@
+"""Layer library tests (shape, parameter count, regularizer sowing) —
+mirrors reference tests/bfcnn/test_custom_layers.py patterns."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from blind_image_denoising_tpu import layers as L
+
+
+RNG = jax.random.PRNGKey(0)
+X = jnp.ones((2, 16, 16, 8), jnp.float32)
+
+
+def test_conv_block_shapes_and_losses():
+    m = L.ConvBlock(features=16, kernel_size=3, activation="relu",
+                    kernel_regularizer="l1", use_bn=True)
+    vs = m.init({"params": RNG}, X, train=False)
+    y, mut = m.apply(vs, X, train=True,
+                     mutable=["batch_stats", "losses"],
+                     rngs={"dropout": RNG})
+    assert y.shape == (2, 16, 16, 16)
+    assert jax.tree_util.tree_leaves(mut["losses"])  # penalty sown
+    # inference apply needs no mutable collections
+    y2 = m.apply(vs, X, train=False, mutable=False)
+    assert y2.shape == y.shape
+
+
+def test_conv_block_depthwise_and_groups():
+    m = L.ConvBlock(kernel_size=3, depth_multiplier=4)
+    vs = m.init(RNG, X)
+    assert m.apply(vs, X).shape == (2, 16, 16, 32)
+
+    m = L.ConvBlock(features=16, kernel_size=1, groups=2)
+    vs = m.init(RNG, X)
+    assert m.apply(vs, X).shape == (2, 16, 16, 16)
+    kernel = vs["params"]["kernel"]
+    assert kernel.shape == (1, 1, 4, 16)  # in/groups
+
+
+def test_conv_block_transpose_upsamples():
+    m = L.ConvBlock(features=8, kernel_size=2, strides=2, transpose=True)
+    vs = m.init(RNG, X)
+    assert m.apply(vs, X).shape == (2, 32, 32, 8)
+
+
+def test_relu_bias_init():
+    m = L.ConvBlock(features=4, kernel_size=1, use_bias=True,
+                    activation="relu")
+    vs = m.init(RNG, X)
+    np.testing.assert_allclose(np.asarray(vs["params"]["bias"]), 0.1)
+
+
+def test_channel_learnable_multiplier_near_identity():
+    m = L.ChannelLearnableMultiplier()
+    vs = m.init(RNG, X)
+    y = m.apply(vs, X, mutable=["losses"])[0]
+    # w ≈ 0 → gain ≈ tanh(1) ≈ 0.7616
+    np.testing.assert_allclose(np.asarray(y), np.tanh(1.0), rtol=0.05)
+
+
+def test_multiplier_legacy_semantics():
+    # act(w0 + multiplier) with w0=0 and relu → exactly multiplier
+    m = L.Multiplier(multiplier=1.0, activation="relu")
+    vs = m.init(RNG, X)
+    y = m.apply(vs, X)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(X))
+    assert vs["params"]["w0"].shape == (1,)
+
+    m = L.ChannelwiseMultiplier(multiplier=1.0, activation="relu")
+    vs = m.init(RNG, X)
+    assert vs["params"]["w0"].shape == (8,)
+
+
+def test_stochastic_depth_drops_whole_samples():
+    m = L.StochasticDepth(0.5)
+    vs = m.init(RNG, X)
+    y = np.asarray(m.apply(vs, X, train=True,
+                           rngs={"dropout": jax.random.PRNGKey(7)}))
+    per_sample = y.reshape(2, -1)
+    for b in range(2):
+        vals = np.unique(per_sample[b])
+        assert len(vals) == 1  # whole sample either kept(scaled) or dropped
+    # eval mode: identity
+    np.testing.assert_allclose(
+        np.asarray(m.apply(vs, X, train=False)), np.asarray(X))
+
+
+def test_conv_self_attention_any_size():
+    m = L.ConvolutionalSelfAttention(attention_channels=8, use_ln=True)
+    vs = m.init(RNG, X)
+    for hw in (16, 33, 64):
+        x = jnp.ones((1, hw, hw, 8))
+        vs_hw = m.init(RNG, x)
+        y = m.apply(vs_hw, x, mutable=["losses"])[0]
+        assert y.shape == x.shape
+
+
+def test_attention_gate_masks_encoder():
+    m = L.AdditiveAttentionGate(attention_channels=4)
+    vs = m.init(RNG, X, X)
+    y = np.asarray(m.apply(vs, X, X, mutable=["losses"])[0])
+    assert y.shape == X.shape
+    assert (np.abs(y) <= np.abs(np.asarray(X)) + 1e-6).all()  # sigmoid mask
+
+
+def test_selector_block_mixes():
+    ones, zeros = X, jnp.zeros_like(X)
+    for st in ("local", "global", "mixed", "multiscale"):
+        m = L.SelectorBlock(scale_type=st, pool_size=(4, 4))
+        vs = m.init(RNG, ones, zeros, X)
+        y = np.asarray(m.apply(vs, ones, zeros, X, mutable=["losses"])[0])
+        assert y.shape == X.shape
+        assert (y >= -1e-6).all() and (y <= 1.0 + 1e-6).all()
+
+
+def test_squeeze_excite_gate_range():
+    m = L.SqueezeExcite()
+    vs = m.init(RNG, X)
+    y = np.asarray(m.apply(vs, X, mutable=["losses"])[0])
+    assert ((y >= 0) & (y <= np.asarray(X) + 1e-6)).all()
+
+
+@pytest.mark.parametrize("kind,expected_hw", [
+    ("nn", 32), ("bilinear", 32),
+    ("upsample_nearest_conv2d", 32),
+    ("upsample_bilinear_conv2d", 32),
+    ("upsample_laplacian_conv2d", 32),
+    ("conv2d_transpose", 32),
+])
+def test_upsample_variants(kind, expected_hw):
+    m = L.Upsample(kind, dict(filters=8))
+    vs = m.init(RNG, X)
+    y = m.apply(vs, X, mutable=["losses"])[0]
+    assert y.shape[1] == expected_hw
+
+
+@pytest.mark.parametrize("kind", ["conv2d", "maxpool", "strides"])
+def test_downsample_variants(kind):
+    m = L.Downsample(kind, dict(filters=16))
+    vs = m.init(RNG, X)
+    y = m.apply(vs, X, mutable=["losses"])[0]
+    assert y.shape[1] == 8
+
+
+def test_upsample_laplacian_commute_equivalence():
+    """Linear 1x1-conv and bilinear upsample commute
+    (reference upsampling.py:74-101 speedup trick)."""
+    from blind_image_denoising_tpu.ops.resize import upsample_2x_bilinear
+    m = L.ConvBlock(features=8, kernel_size=1, activation="linear")
+    vs = m.init(RNG, X)
+    a = upsample_2x_bilinear(m.apply(vs, X))
+    b = m.apply(vs, upsample_2x_bilinear(X))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_resnet_blocks_residual_identity_at_init_zero_input():
+    fc = dict(kernel_size=3, filters=8, use_bias=False, activation="relu")
+    sc = dict(kernel_size=3, filters=16, use_bias=False, activation="relu")
+    tc = dict(kernel_size=1, filters=8, use_bias=False, activation="linear")
+    m = L.ResnetBlocks(no_layers=2, first_conv_params=fc,
+                       second_conv_params=sc, third_conv_params=tc)
+    x = jnp.zeros((1, 8, 8, 8))
+    vs = m.init(RNG, x)
+    y = m.apply(vs, x)
+    np.testing.assert_allclose(np.asarray(y), 0.0, atol=1e-6)

@@ -1,0 +1,119 @@
+"""Model assembly tests — config-parametrized like the reference's
+test_model_denoiser.py:19-71. Structure checks use jax.eval_shape (no
+compilation) so the whole packaged-config matrix stays fast on CPU; one
+tiny model runs a real forward."""
+
+import copy
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import blind_image_denoising_tpu as bid
+from blind_image_denoising_tpu.models import model_builder
+from blind_image_denoising_tpu.models.hydra import Hydra
+
+CONFIG_NAMES = sorted(bid.CONFIGS_DICT)
+
+
+@pytest.mark.parametrize("name", CONFIG_NAMES)
+def test_model_builder_structure(name):
+    """Every packaged config builds; outputs are finest-first with halving
+    spatial dims; all outputs have the configured channel count."""
+    cfg = bid.CONFIGS_DICT[name]
+    results = model_builder(cfg["model"])
+    hydra = results.hydra
+
+    x = jax.ShapeDtypeStruct((1, 64, 64, 3), jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    variables = jax.eval_shape(
+        lambda r, v: hydra.init(r, v, train=False), rng, x)
+    outs = jax.eval_shape(
+        lambda v, im: hydra.apply(v, im, train=False), variables, x)
+
+    assert isinstance(outs, list) and len(outs) >= 1
+    out_ch = cfg["model"]["denoiser"].get("output_channels", 3)
+    for i, o in enumerate(outs):
+        assert o.shape == (1, 64 // (2 ** i), 64 // (2 ** i), out_ch)
+
+    nparams = sum(int(np.prod(p.shape))
+                  for p in jax.tree_util.tree_leaves(variables["params"]))
+    assert nparams > 1000
+
+
+@pytest.mark.parametrize("name", CONFIG_NAMES)
+def test_model_builder_multiple_sizes(name):
+    """Fully-convolutional: builds at several input sizes
+    (reference test_model_denoiser.py checks 64/128/256)."""
+    cfg = bid.CONFIGS_DICT[name]
+    hydra = model_builder(cfg["model"]).hydra
+    rng = jax.random.PRNGKey(0)
+    for hw in (32, 64, 128):
+        x = jax.ShapeDtypeStruct((1, hw, hw, 3), jnp.float32)
+        variables = jax.eval_shape(
+            lambda r, v: hydra.init(r, v, train=False), rng, x)
+        outs = jax.eval_shape(
+            lambda v, im: hydra.apply(v, im, train=False), variables, x)
+        assert outs[0].shape == (1, hw, hw, 3)
+
+
+def _tiny_model_config():
+    cfg = copy.deepcopy(bid.CONFIGS_DICT["unet_laplacian_v6"]["model"])
+    cfg["backbone"].update(depth=2, width=1, filters=4)
+    cfg["denoiser"]["filters"] = 4
+    return cfg
+
+
+def test_tiny_hydra_forward_range():
+    """Real forward: outputs clamp to the value range and respond to input."""
+    cfg = _tiny_model_config()
+    hydra = model_builder(cfg).hydra
+    rng = jax.random.PRNGKey(0)
+    x = jnp.asarray(np.random.default_rng(0)
+                    .uniform(0, 255, (2, 32, 32, 3)).astype(np.float32))
+    variables = hydra.init({"params": rng}, x, train=False)
+    outs = hydra.apply(variables, x, train=False)
+    assert len(outs) == 2
+    y = np.asarray(outs[0])
+    assert y.shape == (2, 32, 32, 3)
+    assert y.min() >= 0.0 and y.max() <= 255.0  # denormalized range
+
+
+def test_tiny_hydra_train_mode_collections():
+    """train=True with mutable losses/batch_stats works and sows penalties."""
+    cfg = _tiny_model_config()
+    hydra = model_builder(cfg).hydra
+    x = jnp.ones((1, 16, 16, 3), jnp.float32)
+    variables = hydra.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    outs, mut = hydra.apply(
+        variables, x, train=True, mutable=["losses", "batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(1)})
+    assert jax.tree_util.tree_leaves(mut["losses"])
+    total = sum(jnp.sum(l) for l in jax.tree_util.tree_leaves(mut["losses"]))
+    assert float(total) > 0.0
+
+
+def test_segnet_raises():
+    from blind_image_denoising_tpu.models import SegnetBackbone
+    m = SegnetBackbone(config={})
+    with pytest.raises(NotImplementedError):
+        m.init(jax.random.PRNGKey(0), jnp.ones((1, 8, 8, 3)))
+
+
+def test_scale_equivariance_bias_free():
+    """Bias-free network: backbone(a·x) ≈ a·backbone(x) — the CVPR-2020
+    property the whole design rests on (reference README.md:24-40)."""
+    from blind_image_denoising_tpu.models import ResnetBackbone
+    cfg = dict(
+        type="resnet", filters=4, no_layers=1, kernel_size=3,
+        block_kernels=[3, 3], block_filters=[4, 4],
+        activation="relu", use_bn=False, batchnorm=False, use_bias=False,
+        kernel_regularizer="l1", kernel_initializer="glorot_normal")
+    m = ResnetBackbone(config=cfg)
+    x = jnp.asarray(np.random.default_rng(1)
+                    .normal(size=(1, 16, 16, 3)).astype(np.float32))
+    vs = m.init(jax.random.PRNGKey(0), x)
+    y1 = np.asarray(m.apply(vs, x)[0])
+    y2 = np.asarray(m.apply(vs, 3.0 * x)[0])
+    np.testing.assert_allclose(3.0 * y1, y2, rtol=1e-4, atol=1e-4)

@@ -1,0 +1,119 @@
+"""Multi-device tests on the 8-virtual-CPU mesh: DP equivalence and
+spatial halo-exchange correctness. The reference has no distributed paths
+to test (SURVEY §2.9); these cover the new TPU-native capability."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from blind_image_denoising_tpu.parallel.mesh import (
+    create_mesh, data_sharding, replicate_sharding, shard_batch,
+    shard_train_step)
+from blind_image_denoising_tpu.parallel.spatial import (
+    denoise_spatially_sharded, spatial_shard_image, receptive_field_margin)
+
+
+def test_mesh_creation():
+    mesh = create_mesh(data=-1)
+    assert mesh.shape["data"] == len(jax.devices())
+    mesh = create_mesh(data=4, spatial=2)
+    assert mesh.shape == {"data": 4, "spatial": 2}
+    with pytest.raises(ValueError):
+        create_mesh(data=len(jax.devices()) + 1)
+
+
+def test_spatial_halo_exchange_matches_single_device():
+    """H-sharded fully-convolutional forward with halo exchange must equal
+    the unsharded forward (up to float assoc)."""
+    from blind_image_denoising_tpu.layers.conv import ConvBlock
+    import flax.linen as nn
+
+    class TinyCNN(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = ConvBlock(features=8, kernel_size=3, activation="relu",
+                          name="c1")(x)
+            x = ConvBlock(features=3, kernel_size=3, name="c2")(x)
+            return x
+
+    model = TinyCNN()
+    x = jnp.asarray(np.random.default_rng(0)
+                    .normal(size=(1, 64, 32, 3)).astype(np.float32))
+    vs = model.init(jax.random.PRNGKey(0), x)
+
+    expected = np.asarray(model.apply(vs, x))
+
+    mesh = create_mesh(data=2, spatial=4)
+    # margin 2 covers the two 3x3 convs' receptive field (radius 2)
+    fwd = denoise_spatially_sharded(
+        lambda v, im: model.apply(v, im), vs, mesh, margin=2)
+    got = np.asarray(fwd(spatial_shard_image(mesh, x)))
+    np.testing.assert_allclose(got, expected, atol=1e-5)
+
+
+def test_receptive_field_margin_monotone():
+    assert receptive_field_margin(1) < receptive_field_margin(2) \
+        < receptive_field_margin(3)
+
+
+def test_dp_train_step_matches_single_device():
+    """The same train step on a 1-device and an 8-device mesh must produce
+    identical parameters (GSPMD DP is numerically the same computation)."""
+    from blind_image_denoising_tpu.models.hydra import model_builder
+    from blind_image_denoising_tpu.training.losses import loss_function_builder
+    from blind_image_denoising_tpu.training.optimizer import optimizer_builder
+    from blind_image_denoising_tpu.training.train_state import create_train_state
+    from blind_image_denoising_tpu.training.train_step import build_train_step
+
+    cfg = {"backbone": {
+        "type": "resnet", "input_shape": ["?", "?", 3], "filters": 4,
+        "no_layers": 1, "kernel_size": 3, "block_kernels": [3],
+        "block_filters": [4], "activation": "relu", "batchnorm": False,
+        "value_range": [0, 255], "kernel_regularizer": "l1",
+        "kernel_initializer": "glorot_normal"},
+        "denoiser": {"use_bias": False, "output_channels": 3}}
+    loss_fns = loss_function_builder(
+        {"hinge": 0.0, "mae_multiplier": 1.0, "ssim_multiplier": -1.0,
+         "regularization": 0.01})
+    tx, _ = optimizer_builder({
+        "type": "ADAM", "schedule": {"type": "cosine_decay", "config": {
+            "learning_rate": 0.01, "decay_steps": 1000}}})
+
+    hydra = model_builder(cfg).hydra
+    sample = jnp.zeros((8, 16, 16, 3))
+    state = create_train_state(hydra, tx, jax.random.PRNGKey(0), sample)
+    step = build_train_step(hydra, tx, loss_fns, no_outputs=1,
+                            additive_noise=[5, 10], grad_accum=1)
+
+    batch = jnp.asarray(np.random.default_rng(1)
+                        .uniform(0, 255, (8, 16, 16, 3)).astype(np.float32))
+    rng = jax.random.PRNGKey(7)
+    dw = jnp.ones((1,), jnp.float32)
+
+    # single device
+    s1, m1 = jax.jit(step)(state, batch, rng, dw)
+    # 8-device DP
+    mesh = create_mesh(data=-1)
+    sharded = shard_train_step(step, mesh)
+    s8, m8 = sharded(
+        jax.device_put(state, replicate_sharding(mesh)),
+        shard_batch(mesh, batch),
+        jax.device_put(rng, replicate_sharding(mesh)),
+        jax.device_put(dw, replicate_sharding(mesh)))
+
+    assert float(m1["total_loss"]) == pytest.approx(
+        float(m8["total_loss"]), rel=1e-5)
+    l1 = jax.tree_util.tree_leaves(s1.params)
+    l8 = jax.tree_util.tree_leaves(s8.params)
+    for a, b in zip(l1, l8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_graft_entry_dryrun():
+    """The driver's multichip dry run must pass on the virtual mesh."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__
+    __graft_entry__.dryrun_multichip(len(jax.devices()))
