@@ -25,7 +25,9 @@ def main():
     from blind_image_denoising_tpu.models.hydra import model_builder
 
     cfg = bid.CONFIGS_DICT["unet_laplacian_v6"]
-    results = model_builder(cfg["model"])
+    # bfloat16 compute: MXU-native on TPU (~2.1x over f32 measured on v5e);
+    # params stay f32, activations/conv math run bf16
+    results = model_builder(cfg["model"], dtype=jnp.bfloat16)
     hydra = results.hydra
 
     batch, hw = 8, 256

@@ -53,7 +53,10 @@ from . import models as _models_subpackage  # noqa: F401  (must come first)
 models = {}
 if _pretrained_dir.is_dir():
     for _d in sorted(_pretrained_dir.iterdir()):
-        if _d.is_dir() and (_d / "params.msgpack").is_file():
+        if not _d.is_dir():
+            continue
+        if (_d / "params.msgpack").is_file() \
+                or (_d / "denoiser_model.tflite").is_file():
             models[_d.name] = {
                 "directory": str(_d),
                 "configuration": str(_d / "pipeline.json"),
@@ -62,16 +65,36 @@ if _pretrained_dir.is_dir():
 
 def load_model(name_or_path):
     """Load a pretrained denoiser by registry name or artifact directory
-    path (reference __init__.py:81-97)."""
+    path (reference __init__.py:81-97). Supports both native exported
+    artifacts (params.msgpack + pipeline.json) and reference-style
+    directories shipping a denoiser_model.tflite (executed as a jitted JAX
+    graph, inference/tflite.py)."""
     from .inference.export import load_exported_model
 
-    if name_or_path in models:
-        return load_exported_model(models[name_or_path]["directory"])
-    if _os.path.isdir(str(name_or_path)):
-        return load_exported_model(str(name_or_path))
-    raise ValueError(
-        f"[{name_or_path}] is neither a known pretrained model "
-        f"({sorted(models)}) nor an artifact directory")
+    path = (models[name_or_path]["directory"] if name_or_path in models
+            else str(name_or_path))
+    if not _os.path.isdir(path):
+        raise ValueError(
+            f"[{name_or_path}] is neither a known pretrained model "
+            f"({sorted(models)}) nor an artifact directory")
+    if _os.path.isfile(_os.path.join(path, "params.msgpack")):
+        return load_exported_model(path)
+    tflite_path = _os.path.join(path, "denoiser_model.tflite")
+    if _os.path.isfile(tflite_path):
+        from .inference.tflite import load_tflite_denoiser
+        import numpy as _np
+        fn = load_tflite_denoiser(tflite_path)
+
+        def denoiser(image):
+            x = _np.asarray(image)
+            squeeze = x.ndim == 3
+            if squeeze:
+                x = x[None]
+            y = _np.asarray(fn(x.astype(_np.uint8)))
+            return y[0] if squeeze else y
+
+        return denoiser
+    raise ValueError(f"no loadable artifact in [{path}]")
 
 
 # alias: the reference distinguishes the hydra SavedModel from the uint8

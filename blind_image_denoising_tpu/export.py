@@ -19,7 +19,13 @@ def main(argv=None) -> int:
                         action="store_false")
     parser.add_argument("--test-model", action="store_true",
                         help="run an inference self-test after export")
+    parser.add_argument("--platform", default=None, type=str,
+                        help="force a jax platform (e.g. cpu)")
     args = parser.parse_args(argv)
+
+    if getattr(args, "platform", None):
+        import jax
+        jax.config.update("jax_platforms", args.platform)
 
     export_model(
         pipeline_config=args.pipeline_config,

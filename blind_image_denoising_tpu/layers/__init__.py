@@ -28,5 +28,5 @@ from .attention import (
 from .se import SqueezeExcite
 from .selector import SelectorBlock
 from .sampling import Upsample, Downsample
-from .misc import GaussianFilter, ValueCompressor, SparseBlock
+from .misc import GaussianFilter, ValueCompressor, SparseBlock, GatedMLP
 from .blocks import ResnetBlocks, DenseGate

@@ -34,6 +34,39 @@ class ValueCompressor(nn.Module):
         return jnp.tanh(x * self.alpha) * self.beta
 
 
+class GatedMLP(nn.Module):
+    """Gated 1×1-conv MLP: two parallel 1×1 expansions, one passed through
+    a gate activation and multiplied into the other, then projected back.
+
+    The reference's GatedMLP (custom_layers.py:37-101) references undefined
+    attributes and would crash at build time (dead code, SURVEY §2.4); this
+    is the working equivalent."""
+    filters: int
+    use_bias: bool = False
+    activation: str = "linear"
+    gate_activation: str = "sigmoid"
+    kernel_regularizer: Any = None
+    kernel_initializer: Any = "glorot_normal"
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        from .conv import ConvBlock
+        common = dict(kernel_size=1, use_bias=self.use_bias,
+                      kernel_regularizer=self.kernel_regularizer,
+                      kernel_initializer=self.kernel_initializer,
+                      dtype=self.dtype)
+        value = ConvBlock(features=self.filters,
+                          activation=self.activation,
+                          **common, name="value")(x, train=train)
+        gate = ConvBlock(features=self.filters,
+                         activation=self.gate_activation,
+                         **common, name="gate")(x, train=train)
+        out = ConvBlock(features=x.shape[-1], activation="linear",
+                        **common, name="project")(value * gate, train=train)
+        return out
+
+
 class SparseBlock(nn.Module):
     """BN-normalize then zero out values below ``threshold_sigma``; keeps the
     distribution's right tail (or |tail| when symmetrical)."""

@@ -23,7 +23,14 @@ def main(argv=None) -> int:
     parser.add_argument(
         "--total-steps", default=None, type=int,
         help="override train.total_steps (stop after N applied steps)")
+    parser.add_argument(
+        "--platform", default=None, type=str,
+        help="force a jax platform (e.g. cpu)")
     args = parser.parse_args(argv)
+
+    if getattr(args, "platform", None):
+        import jax
+        jax.config.update("jax_platforms", args.platform)
 
     if not os.path.isfile(args.pipeline_config):
         logger.error(f"pipeline config [{args.pipeline_config}] not found")

@@ -72,8 +72,11 @@ def train_loop(
     loss_fns = loss_function_builder(config["loss"])
     tx, lr_schedule = optimizer_builder(train_config["optimizer"])
 
-    # --- model
-    builder_results = model_builder(config["model"])
+    # --- model (optional bfloat16 compute via the tpu config section —
+    # params stay f32, conv/activation math runs MXU-native bf16)
+    compute_dtype = tpu_config.get("compute_dtype", "float32")
+    dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else None
+    builder_results = model_builder(config["model"], dtype=dtype)
     hydra = builder_results.hydra
 
     rng = jax.random.PRNGKey(0)
@@ -104,10 +107,16 @@ def train_loop(
             logger.warning(f"fine-tune weight load failed ({e}); "
                            f"training from scratch")
 
-    # --- parallel setup: DP over all devices
+    # --- parallel setup: DP over all devices (clamped so the per-step
+    # batch divides the data axis)
+    import math
     mesh_cfg = tpu_config.get("mesh", {"data": -1})
-    mesh = create_mesh(data=mesh_cfg.get("data", -1),
-                       spatial=mesh_cfg.get("spatial", 1))
+    spatial = mesh_cfg.get("spatial", 1)
+    data = mesh_cfg.get("data", -1)
+    if data == -1:
+        data = len(jax.devices()) // spatial
+    data = math.gcd(int(data), int(batch_size))
+    mesh = create_mesh(data=data, spatial=spatial)
     logger.info(f"mesh: {dict(mesh.shape)} over {len(jax.devices())} devices")
 
     grad_accum = max(1, int(train_config.get("gpu_batches_per_step", 1)))

@@ -43,7 +43,8 @@ def build_train_step(
         random_up_down: bool = True,
         round_values: bool = True,
         grad_accum: int = 1,
-        remat: bool = False):
+        remat: bool = False,
+        use_pallas_noise: bool = False):
     """Returns ``train_step(state, batch, rng, depth_weights) ->
     (new_state, metrics)``.
 
@@ -102,10 +103,21 @@ def build_train_step(
                              up_down=random_up_down)
         if round_values:
             clean = jnp.round(clean)
-        noisy = corrupt_batch(k_noise, clean,
-                              additive_noise=additive_noise,
-                              multiplicative_noise=multiplicative_noise,
-                              round_values=round_values)
+        if use_pallas_noise:
+            # fused single-pass TPU kernel (ops/pallas_noise.py); fold the
+            # key into an int32 seed
+            from ..ops.pallas_noise import corrupt_batch_pallas
+            seed = jax.random.randint(k_noise, (), 0, 2**31 - 1, jnp.int32)
+            noisy = corrupt_batch_pallas(
+                seed, clean,
+                additive_noise=additive_noise,
+                multiplicative_noise=multiplicative_noise,
+                round_values=round_values)
+        else:
+            noisy = corrupt_batch(k_noise, clean,
+                                  additive_noise=additive_noise,
+                                  multiplicative_noise=multiplicative_noise,
+                                  round_values=round_values)
         gt_scales = multiscale_targets(
             clean, no_outputs - 1, clip_values=True, round_values=True)
         return noisy, gt_scales

@@ -1,0 +1,99 @@
+"""Inference subsystem tests: any-size Denoiser contract, export/reload
+round-trip (the analog of reference test_model_denoiser.py's
+DenoiserModule checks)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from blind_image_denoising_tpu.models.hydra import model_builder
+from blind_image_denoising_tpu.inference.denoiser import Denoiser
+
+
+@pytest.fixture(scope="module")
+def tiny_denoiser():
+    cfg = {"backbone": {
+        "type": "resnet", "input_shape": ["?", "?", 3], "filters": 4,
+        "no_layers": 1, "kernel_size": 3, "block_kernels": [3],
+        "block_filters": [4], "activation": "relu", "batchnorm": False,
+        "value_range": [0, 255], "kernel_regularizer": "l1",
+        "kernel_initializer": "glorot_normal"},
+        "denoiser": {"use_bias": False, "output_channels": 3}}
+    hydra = model_builder(cfg).hydra
+    x = jnp.zeros((1, 32, 32, 3))
+    variables = hydra.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    variables = {k: v for k, v in variables.items()
+                 if k in ("params", "batch_stats")}
+    return Denoiser(hydra, variables)
+
+
+@pytest.mark.parametrize("shape", [(32, 32, 3), (50, 70, 3), (1, 100, 3),
+                                   (2, 48, 64, 3)])
+def test_denoiser_any_size_uint8(tiny_denoiser, shape):
+    img = np.random.default_rng(0).integers(0, 256, shape, dtype=np.uint8)
+    out = tiny_denoiser(img)
+    assert out.shape == img.shape
+    assert out.dtype == np.uint8
+
+
+def test_denoiser_float_mode():
+    cfg = {"backbone": {
+        "type": "resnet", "input_shape": ["?", "?", 3], "filters": 4,
+        "no_layers": 1, "kernel_size": 3, "block_kernels": [3],
+        "block_filters": [4], "activation": "relu", "batchnorm": False,
+        "value_range": [0, 255], "kernel_regularizer": "l1",
+        "kernel_initializer": "glorot_normal"},
+        "denoiser": {"use_bias": False, "output_channels": 3}}
+    hydra = model_builder(cfg).hydra
+    x = jnp.zeros((1, 16, 16, 3))
+    variables = hydra.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    variables = {k: v for k, v in variables.items()
+                 if k in ("params", "batch_stats")}
+    d = Denoiser(hydra, variables, cast_to_uint8=False)
+    out = d(np.zeros((16, 16, 3), np.uint8))
+    assert out.dtype == np.float32
+    assert 0.0 <= out.min() and out.max() <= 255.0
+
+
+def test_export_reload_roundtrip(tmp_path):
+    """export_model → load_exported_model must reproduce identical outputs."""
+    import json
+    from blind_image_denoising_tpu.inference.export import (
+        export_model, load_exported_model)
+    from blind_image_denoising_tpu.training.train_loop import train_loop
+
+    cfg = {
+        "model": {"backbone": {
+            "type": "resnet", "input_shape": ["?", "?", 3], "filters": 4,
+            "no_layers": 1, "kernel_size": 3, "block_kernels": [3],
+            "block_filters": [4], "activation": "relu", "batchnorm": False,
+            "value_range": [0, 255], "kernel_regularizer": "l1",
+            "kernel_initializer": "glorot_normal"},
+            "denoiser": {"use_bias": False, "output_channels": 3}},
+        "train": {"epochs": 1, "total_steps": 1, "gpu_batches_per_step": 1,
+                  "checkpoint_every": -1, "use_test_images": False,
+                  "visualization_every": -1,
+                  "optimizer": {"type": "ADAM", "schedule": {
+                      "type": "cosine_decay", "config": {
+                          "learning_rate": 0.001, "decay_steps": 100}}}},
+        "loss": {"hinge": 0.5, "mae_multiplier": 1.0,
+                 "ssim_multiplier": -1.0, "regularization": 0.01},
+        "dataset": {"batch_size": 2, "input_shape": [16, 16, 3],
+                    "additional_noise": [5, 10], "inputs": []},
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+
+    state = train_loop(str(cfg_path), str(tmp_path / "ckpt"))
+    assert int(state.step) == 1
+
+    out_dir = export_model(str(cfg_path), str(tmp_path / "ckpt"),
+                           str(tmp_path / "export"), to_stablehlo=False)
+    denoiser = load_exported_model(out_dir)
+    img = np.random.default_rng(0).integers(0, 256, (16, 16, 3),
+                                            dtype=np.uint8)
+    out1 = denoiser(img)
+    out2 = denoiser(img)
+    np.testing.assert_array_equal(out1, out2)
+    assert out1.shape == img.shape

@@ -1,0 +1,77 @@
+"""Pretrained-model acceptance tests — the analog of the reference's
+test_pretrained.py:23-80 quality gate: the shipped pretrained denoiser must
+beat the noisy input on PSNR, SSIM and MAE across a noise sweep.
+
+Runs the reference's actual shipped TFLite weights through the JAX graph
+executor (inference/tflite.py). Skipped when the reference artifact isn't
+mounted."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+REFERENCE_TFLITE = ("/root/reference/bfcnn/pretrained/unet_laplacian_v5.6/"
+                    "denoiser_model.tflite")
+KITTI_DIR = "/root/reference/images/test/kitti/files"
+
+needs_artifact = pytest.mark.skipif(
+    not os.path.isfile(REFERENCE_TFLITE),
+    reason="reference pretrained artifact not mounted")
+
+
+@pytest.fixture(scope="module")
+def denoiser():
+    from blind_image_denoising_tpu.inference.tflite import load_tflite_denoiser
+    return load_tflite_denoiser(REFERENCE_TFLITE)
+
+
+@needs_artifact
+def test_executor_output_contract(denoiser):
+    x = np.random.default_rng(0).integers(0, 256, (1, 64, 64, 3),
+                                          dtype=np.uint8)
+    y = np.asarray(denoiser(x))
+    assert y.shape == x.shape and y.dtype == np.uint8
+
+
+@needs_artifact
+def test_pretrained_beats_noisy_synthetic(denoiser):
+    """MAE/PSNR/SSIM all improve at std ∈ {10, 20, 30} on a synthetic
+    gradient scene."""
+    from blind_image_denoising_tpu.ops.losses import psnr
+    from blind_image_denoising_tpu.ops.ssim import ssim
+
+    g = np.linspace(0, 255, 64)[None, :, None] * np.ones((64, 1, 3))[None]
+    clean = np.broadcast_to(np.clip(g, 0, 255),
+                            (1, 64, 64, 3)).astype(np.float32)
+    rng = np.random.default_rng(1)
+    for std in (10, 20, 30):
+        noisy = np.clip(np.round(clean + rng.normal(0, std, clean.shape)),
+                        0, 255).astype(np.uint8)
+        den = np.asarray(denoiser(noisy)).astype(np.float32)
+        assert np.abs(den - clean).mean() < np.abs(noisy - clean).mean()
+        assert float(psnr(jnp.asarray(clean), jnp.asarray(den))) > \
+            float(psnr(jnp.asarray(clean), jnp.asarray(noisy, jnp.float32)))
+        assert float(ssim(jnp.asarray(clean), jnp.asarray(den)).mean()) > \
+            float(ssim(jnp.asarray(clean),
+                       jnp.asarray(noisy, jnp.float32)).mean())
+
+
+@needs_artifact
+@pytest.mark.skipif(not os.path.isdir(KITTI_DIR),
+                    reason="KITTI test frames not mounted")
+def test_pretrained_beats_noisy_kitti(denoiser):
+    """The reference's de-facto acceptance test on a real KITTI frame."""
+    from blind_image_denoising_tpu.data.file_operations import load_image
+
+    files = sorted(os.listdir(KITTI_DIR))[:1]
+    rng = np.random.default_rng(0)
+    for f in files:
+        clean = load_image(os.path.join(KITTI_DIR, f), num_channels=3)[None]
+        clean = clean[:, :128, :256]  # crop to keep CPU compile fast
+        for std in (10, 25):
+            noisy = np.clip(np.round(clean + rng.normal(0, std, clean.shape)),
+                            0, 255).astype(np.uint8)
+            den = np.asarray(denoiser(noisy)).astype(np.float32)
+            assert np.abs(den - clean).mean() < np.abs(noisy - clean).mean()
