@@ -19,6 +19,23 @@ import os as _os
 import pathlib as _pathlib
 
 from .logger import logger
+
+
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache: first-compile on the TPU backend
+    costs minutes per process; caching makes re-runs near-instant."""
+    try:
+        import jax
+        cache_dir = _os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            _os.path.join(_os.path.expanduser("~"), ".cache", "jax_cache"))
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:  # pragma: no cover - older jax
+        pass
+
+
+_enable_compilation_cache()
 from .config import load_config, save_config, input_shape_fixer
 from . import ops
 from .ops.pyramid import (

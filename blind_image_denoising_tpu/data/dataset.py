@@ -51,6 +51,10 @@ class _EpochIterable:
     """One pass over all files per iteration, reshuffled each epoch and
     decoded by a thread pool with bounded prefetch."""
 
+    # small datasets get their decoded images cached in RAM — re-decoding
+    # the same files every epoch would leave the TPU idle
+    CACHE_LIMIT_BYTES = 2 << 30
+
     def __init__(self, files: List[str], batch_size: int, crop_size,
                  no_crops_per_image: int, num_channels: int,
                  seed: int = 0, num_workers: int = 8,
@@ -64,6 +68,9 @@ class _EpochIterable:
         self._epoch = 0
         self._workers = num_workers
         self._prefetch = prefetch_batches
+        self._cache: dict = {}
+        self._cache_bytes = 0
+        self._cache_full = False
 
     def __iter__(self) -> Iterator[np.ndarray]:
         self._epoch += 1
@@ -85,12 +92,19 @@ class _EpochIterable:
                 if path is None:
                     out_q.put(None)
                     return
-                try:
-                    img = load_image(path, num_channels=self._channels,
-                                     dtype=np.float32)
-                except Exception as e:  # corrupt file: skip
-                    logger.warning(f"failed to decode [{path}]: {e}")
-                    continue
+                img = self._cache.get(path)
+                if img is None:
+                    try:
+                        img = load_image(path, num_channels=self._channels,
+                                         dtype=np.float32)
+                    except Exception as e:  # corrupt file: skip
+                        logger.warning(f"failed to decode [{path}]: {e}")
+                        continue
+                    if not self._cache_full:
+                        self._cache[path] = img
+                        self._cache_bytes += img.nbytes
+                        if self._cache_bytes > self.CACHE_LIMIT_BYTES:
+                            self._cache_full = True
                 for crop in random_crops(img, self._crop_size,
                                          self._no_crops, wrng):
                     out_q.put(np.ascontiguousarray(crop))

@@ -153,6 +153,7 @@ def train_loop(
         total_steps = total_steps_override
     checkpoint_every = train_config.get("checkpoint_every", -1)
     visualization_every = train_config.get("visualization_every", 1000)
+    log_every = max(1, int(train_config.get("log_every", 1)))
 
     key = jax.random.PRNGKey(int(state.step) + 1)
     finished = False
@@ -160,7 +161,12 @@ def train_loop(
 
     while not finished and (epochs == -1 or int(state.epoch) < epochs):
         epoch = int(state.epoch)
-        pct_done = 0.0 if epochs in (-1, 0) else epoch / float(epochs)
+        if epochs not in (-1, 0):
+            pct_done = epoch / float(epochs)
+        elif total_steps > 0:
+            pct_done = min(1.0, int(state.step) / float(total_steps))
+        else:
+            pct_done = 0.0
         depth_weights = jnp.asarray(ds_schedule(pct_done), jnp.float32)
         logger.info(f"epoch {epoch}: deep-supervision weights "
                     f"{np.round(np.asarray(depth_weights), 3).tolist()}")
@@ -179,17 +185,20 @@ def train_loop(
                                         depth_weights)
             step = int(state.step)
 
-            # scalar metrics every applied step
-            scalars = {k: v for k, v in
-                       jax.tree_util.tree_map(float, metrics).items()}
-            scalars["learning_rate"] = float(lr_schedule(step))
-            scalars["epoch"] = epoch
-            now = time.time()
-            if now > t_last:
-                scalars["steps_per_second"] = \
-                    (step - steps_last) / (now - t_last)
-            t_last, steps_last = now, step
-            writer.scalars(step, scalars)
+            # scalar metrics every log_every applied steps (fetching the
+            # metric scalars blocks on the device — don't do it per step
+            # when the host pipeline is the bottleneck)
+            if step % log_every == 0:
+                scalars = {k: v for k, v in
+                           jax.tree_util.tree_map(float, metrics).items()}
+                scalars["learning_rate"] = float(lr_schedule(step))
+                scalars["epoch"] = epoch
+                now = time.time()
+                if now > t_last:
+                    scalars["steps_per_second"] = \
+                        (step - steps_last) / (now - t_last)
+                t_last, steps_last = now, step
+                writer.scalars(step, scalars)
 
             if step % 100 == 0:
                 logger.info(
