@@ -22,13 +22,15 @@ from .logger import logger
 
 
 def _enable_compilation_cache():
-    """Persistent XLA compilation cache: first-compile on the TPU backend
-    costs minutes per process; caching makes re-runs near-instant."""
+    """Persistent XLA compilation cache — OPT-IN via the
+    JAX_COMPILATION_CACHE_DIR env var. (Not enabled by default: the axon
+    TPU backend's remote-compile service deadlocks on even trivial jits
+    when the persistent cache is on.)"""
+    cache_dir = _os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if not cache_dir:
+        return
     try:
         import jax
-        cache_dir = _os.environ.get(
-            "JAX_COMPILATION_CACHE_DIR",
-            _os.path.join(_os.path.expanduser("~"), ".cache", "jax_cache"))
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     except Exception:  # pragma: no cover - older jax

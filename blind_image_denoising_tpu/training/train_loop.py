@@ -36,8 +36,7 @@ from ..models.hydra import model_builder
 from ..ops.losses import mae, psnr
 from ..ops.noise import corrupt_batch_fixed_std
 from ..ops.padding import pad_to_power_of_2, remove_padding
-from ..parallel.mesh import create_mesh, shard_train_step, shard_batch, \
-    replicate_sharding
+from ..parallel.mesh import create_mesh, shard_train_step
 from .checkpoint import CheckpointManager
 from .losses import loss_function_builder
 from .metrics import MetricsWriter
@@ -171,16 +170,13 @@ def train_loop(
         logger.info(f"epoch {epoch}: deep-supervision weights "
                     f"{np.round(np.asarray(depth_weights), 3).tolist()}")
 
-        micro_buf = []
-        for clean_batch in dataset.training:
-            micro_buf.append(clean_batch)
-            if len(micro_buf) < grad_accum:
-                continue
-            super_batch = np.concatenate(micro_buf, axis=0)
-            micro_buf = []
-
+        from ..data.prefetch import GroupedBatches, device_prefetch
+        from ..parallel.mesh import data_sharding
+        batches = device_prefetch(
+            GroupedBatches(dataset.training, grad_accum),
+            sharding=data_sharding(mesh), prefetch=2)
+        for batch_dev in batches:
             key, step_key = jax.random.split(key)
-            batch_dev = shard_batch(mesh, jnp.asarray(super_batch))
             state, metrics = train_step(state, batch_dev, step_key,
                                         depth_weights)
             step = int(state.step)

@@ -43,3 +43,20 @@ def test_tpu_statistics_and_determinism():
     assert not np.array_equal(y, np.asarray(f(43, x)))    # seed-sensitive
     stds = y.reshape(8, -1).std(axis=1)
     assert (stds > 0).any()
+
+
+def test_laplacian_band_split_parity():
+    """Fused band-split kernel matches the XLA composition (interpret mode
+    works on CPU — no PRNG involved)."""
+    from blind_image_denoising_tpu.ops.pallas_pyramid import (
+        laplacian_band_split_pallas, laplacian_band_split_reference)
+    x = jnp.asarray(np.random.default_rng(0)
+                    .uniform(0, 255, (2, 32, 16, 3)).astype(np.float32))
+    for k in (2, 3, 5):
+        band_p, down_p = laplacian_band_split_pallas(x, k, interpret=True)
+        band_r, down_r = laplacian_band_split_reference(x, k)
+        np.testing.assert_allclose(np.asarray(band_p), np.asarray(band_r),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(down_p), np.asarray(down_r),
+                                   atol=1e-4)
+        assert down_p.shape == (2, 16, 8, 3)
