@@ -32,5 +32,10 @@ from .pyramid import (
 from .losses import mae_diff, mae, rmse_diff, rmse, gar_loss, improvement, psnr
 from .ssim import ssim, ssim_loss
 from .noise import truncated_normal, corrupt_batch, corrupt_batch_fixed_std, random_flips
+from .pallas_noise import corrupt_batch_pallas
+from .pallas_pyramid import (
+    laplacian_band_split_pallas,
+    laplacian_band_split_reference,
+)
 from .multiscale import multiscale_targets
 from . import regularizers

@@ -158,6 +158,23 @@ def train_loop(
     finished = False
     t_last, steps_last = time.time(), int(state.step)
 
+    # --- preemption safety: SIGTERM/SIGINT → finish the current step,
+    # checkpoint, exit cleanly (the reference has no preemption handling,
+    # SURVEY §5.3; on TPU pods preemption is routine)
+    import signal
+    preempted = {"flag": False}
+
+    def _on_signal(signum, frame):
+        logger.warning(f"signal {signum}: checkpointing and stopping")
+        preempted["flag"] = True
+
+    prev_handlers = {}
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            prev_handlers[sig] = signal.signal(sig, _on_signal)
+        except ValueError:  # non-main thread
+            pass
+
     while not finished and (epochs == -1 or int(state.epoch) < epochs):
         epoch = int(state.epoch)
         if epochs not in (-1, 0):
@@ -211,7 +228,7 @@ def train_loop(
             if checkpoint_every > 0 and step % checkpoint_every == 0:
                 manager.save(state, force=True)
 
-            if total_steps > 0 and step >= total_steps:
+            if preempted["flag"] or (total_steps > 0 and step >= total_steps):
                 finished = True
                 break
 
@@ -221,6 +238,8 @@ def train_loop(
     manager.save(state, force=True)
     manager.wait()
     writer.close()
+    for sig, handler in prev_handlers.items():
+        signal.signal(sig, handler)
     return state
 
 
