@@ -29,10 +29,16 @@ DatasetResults = namedtuple(
 
 
 def random_crops(image: np.ndarray, crop_size, no_crops: int,
-                 rng: random.Random) -> List[np.ndarray]:
+                 rng: random.Random,
+                 min_crop_std: float = 0.0) -> List[np.ndarray]:
     """``no_crops`` random HxW crops (reference utilities.py:466-561 uses
     crop_and_resize with random boxes; plain random windows are equivalent
-    for same-size crops). Images smaller than the crop are edge-padded."""
+    for same-size crops). Images smaller than the crop are edge-padded.
+
+    ``min_crop_std`` > 0 rejects near-constant crops (sky, borders): they
+    carry no denoising signal and their vanishing variance explodes the
+    gradients of bias-free normalization layers. A few re-draws are
+    attempted before accepting whatever comes."""
     ch, cw = int(crop_size[0]), int(crop_size[1])
     h, w = image.shape[:2]
     if h < ch or w < cw:
@@ -41,9 +47,14 @@ def random_crops(image: np.ndarray, crop_size, no_crops: int,
         h, w = image.shape[:2]
     crops = []
     for _ in range(no_crops):
-        y = rng.randint(0, h - ch)
-        x = rng.randint(0, w - cw)
-        crops.append(image[y:y + ch, x:x + cw])
+        crop = None
+        for _attempt in range(4 if min_crop_std > 0 else 1):
+            y = rng.randint(0, h - ch)
+            x = rng.randint(0, w - cw)
+            crop = image[y:y + ch, x:x + cw]
+            if min_crop_std <= 0 or crop.std() >= min_crop_std:
+                break
+        crops.append(crop)
     return crops
 
 
@@ -58,7 +69,8 @@ class _EpochIterable:
     def __init__(self, files: List[str], batch_size: int, crop_size,
                  no_crops_per_image: int, num_channels: int,
                  seed: int = 0, num_workers: int = 8,
-                 prefetch_batches: int = 4):
+                 prefetch_batches: int = 4,
+                 min_crop_std: float = 0.0):
         self._files = files
         self._batch_size = batch_size
         self._crop_size = crop_size
@@ -68,6 +80,7 @@ class _EpochIterable:
         self._epoch = 0
         self._workers = num_workers
         self._prefetch = prefetch_batches
+        self._min_crop_std = min_crop_std
         self._cache: dict = {}
         self._cache_bytes = 0
         self._cache_full = False
@@ -106,7 +119,8 @@ class _EpochIterable:
                         if self._cache_bytes > self.CACHE_LIMIT_BYTES:
                             self._cache_full = True
                 for crop in random_crops(img, self._crop_size,
-                                         self._no_crops, wrng):
+                                         self._no_crops, wrng,
+                                         min_crop_std=self._min_crop_std):
                     out_q.put(np.ascontiguousarray(crop))
 
         threads = [threading.Thread(target=worker, args=(i,), daemon=True)
@@ -182,7 +196,8 @@ def dataset_builder(config: Dict) -> DatasetResults:
     if files:
         training = _EpochIterable(
             files, batch_size=batch_size, crop_size=crop_size,
-            no_crops_per_image=no_crops, num_channels=num_channels)
+            no_crops_per_image=no_crops, num_channels=num_channels,
+            min_crop_std=float(config.get("min_crop_std", 0.0)))
     else:
         logger.warning("no dataset images found; using synthetic stream")
         training = SyntheticDataset(batch_size, crop_size, num_channels)

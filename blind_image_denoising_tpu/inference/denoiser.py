@@ -1,17 +1,23 @@
 """Any-size uint8 denoiser module.
 
 Equivalent of the reference DenoiserModule (module_denoiser.py:15-75):
-uint8 → float32 → pad H/W to the next power of two → hydra forward → take
-the finest-scale output → unpad → round → uint8.
+uint8 → float32 → pad → hydra forward → take the finest-scale output →
+unpad → round → uint8.
 
 XLA discipline: shapes must be static under jit, so padding amounts are
-computed in Python and the jitted forward is specialized per power-of-2
-bucket — one compilation per bucket (16 buckets cover 1×1…32k×32k), then
-cache hits. This is exactly the role ``jit_compile=True`` + pow2 padding
-plays in the reference (module_denoiser.py:39-45,56).
+computed in Python and the jitted forward is specialized per padded-shape
+bucket — then cache hits. Improvements over the reference:
 
-Multi-chip: pass a mesh + margin to shard full frames over the 'spatial'
-axis with halo exchange (parallel/spatial.py).
+* ``pad_multiple`` mode (default) pads H/W up to a multiple of the model's
+  downsample factor (e.g. 64) instead of the next power of two
+  (module_denoiser.py:56): a 1241×376 KITTI frame costs 1280×384 pixels
+  instead of 2048×512 — 2.6× less compute. Set ``pad_mode="pow2"`` for the
+  reference behavior.
+* ``tile_rows`` splits very large frames (4K+) into overlapping row bands
+  with a receptive-field halo, bounding device memory; bands are stitched
+  exactly (fully-convolutional + sufficient halo).
+* multi-chip: pass a mesh + margin to shard full frames over the
+  'spatial' axis with ICI halo exchange (parallel/spatial.py).
 """
 
 from typing import Optional
@@ -24,12 +30,22 @@ from ..ops.padding import next_power_of_2
 from ..parallel.spatial import denoise_spatially_sharded
 
 
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
 class Denoiser:
     def __init__(self, model, variables, cast_to_uint8: bool = True,
+                 pad_mode: str = "multiple", pad_multiple: int = 64,
+                 tile_rows: int = 0, tile_halo: int = 64,
                  mesh=None, spatial_margin: int = 0):
         self._model = model
         self._variables = variables
         self._cast = cast_to_uint8
+        self._pad_mode = pad_mode
+        self._pad_multiple = int(pad_multiple)
+        self._tile_rows = int(tile_rows)
+        self._tile_halo = int(tile_halo)
         if mesh is not None and mesh.shape.get("spatial", 1) > 1:
             self._forward = denoise_spatially_sharded(
                 lambda v, x: model.apply(v, x, train=False)[0],
@@ -37,6 +53,36 @@ class Denoiser:
         else:
             self._forward = jax.jit(
                 lambda x: model.apply(variables, x, train=False)[0])
+
+    def _pad_target(self, n: int) -> int:
+        if self._pad_mode == "pow2":
+            return next_power_of_2(n)
+        return _round_up(n, self._pad_multiple)
+
+    def _run_padded(self, x: jnp.ndarray) -> jnp.ndarray:
+        _, h, w, _ = x.shape
+        pad_h = self._pad_target(h) - h
+        pad_w = self._pad_target(w) - w
+        if pad_h or pad_w:
+            x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+        y = self._forward(x)
+        if pad_h or pad_w:
+            y = y[:, : y.shape[1] - pad_h, : y.shape[2] - pad_w, :]
+        return y
+
+    def _run_tiled(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Row-band tiling with halo; exact for halo ≥ half receptive
+        field (fully-convolutional model)."""
+        _, h, w, _ = x.shape
+        t, halo = self._tile_rows, self._tile_halo
+        outs = []
+        for start in range(0, h, t):
+            stop = min(start + t, h)
+            lo = max(0, start - halo)
+            hi = min(h, stop + halo)
+            band = self._run_padded(x[:, lo:hi])
+            outs.append(band[:, start - lo: start - lo + (stop - start)])
+        return jnp.concatenate(outs, axis=1)
 
     def __call__(self, image) -> np.ndarray:
         """image: uint8/float [H, W, C] or [B, H, W, C]; returns same rank.
@@ -47,16 +93,11 @@ class Denoiser:
             x = x[None]
         x = x.astype(jnp.float32)
 
-        _, h, w, _ = x.shape
-        pad_h = next_power_of_2(h) - h
-        pad_w = next_power_of_2(w) - w
-        if pad_h or pad_w:
-            x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+        if self._tile_rows > 0 and x.shape[1] > self._tile_rows:
+            y = self._run_tiled(x)
+        else:
+            y = self._run_padded(x)
 
-        y = self._forward(x)
-
-        if pad_h or pad_w:
-            y = y[:, : y.shape[1] - pad_h, : y.shape[2] - pad_w, :]
         if squeeze:
             y = y[0]
         y = jnp.clip(jnp.round(y), 0.0, 255.0)

@@ -97,3 +97,35 @@ def test_export_reload_roundtrip(tmp_path):
     out2 = denoiser(img)
     np.testing.assert_array_equal(out1, out2)
     assert out1.shape == img.shape
+
+
+def test_denoiser_pad_modes_and_tiling(tiny_denoiser):
+    """pad='multiple' and row tiling agree with the pow2 path — the model
+    is fully convolutional so all give the same pixels."""
+    from blind_image_denoising_tpu.models.hydra import model_builder
+    from blind_image_denoising_tpu.inference.denoiser import Denoiser
+
+    cfg = {"backbone": {
+        "type": "resnet", "input_shape": ["?", "?", 3], "filters": 4,
+        "no_layers": 1, "kernel_size": 3, "block_kernels": [3],
+        "block_filters": [4], "activation": "relu", "batchnorm": False,
+        "value_range": [0, 255], "kernel_regularizer": "l1",
+        "kernel_initializer": "glorot_normal"},
+        "denoiser": {"use_bias": False, "output_channels": 3}}
+    hydra = model_builder(cfg).hydra
+    x0 = jnp.zeros((1, 16, 16, 3))
+    variables = hydra.init({"params": jax.random.PRNGKey(0)}, x0, train=False)
+    variables = {k: v for k, v in variables.items()
+                 if k in ("params", "batch_stats")}
+
+    img = np.random.default_rng(0).integers(0, 256, (70, 90, 3),
+                                            dtype=np.uint8)
+    base = Denoiser(hydra, variables, pad_mode="pow2")(img)
+    mult = Denoiser(hydra, variables, pad_mode="multiple", pad_multiple=16)(img)
+    tiled = Denoiser(hydra, variables, pad_mode="multiple", pad_multiple=16,
+                     tile_rows=32, tile_halo=8)(img)
+    # interior must agree exactly; borders may differ by padding-region
+    # bleed within the receptive field (radius ~2 for this model)
+    r = 4
+    np.testing.assert_array_equal(base[r:-r, r:-r], mult[r:-r, r:-r])
+    np.testing.assert_array_equal(mult, tiled)  # same pad mode → identical
