@@ -129,6 +129,38 @@ def load_default_denoiser():
     return load_model(sorted(models)[0])
 
 
+# --- lazy top-level API (reference __init__.py exports train_loop,
+# export_model, model_builder, load_image, schedule_builder,
+# optimizer_builder, Multiplier, ChannelwiseMultiplier eagerly; here they
+# resolve on first access so `import blind_image_denoising_tpu` stays light)
+_LAZY_EXPORTS = {
+    "train_loop": ("blind_image_denoising_tpu.training.train_loop",
+                   "train_loop"),
+    "export_model": ("blind_image_denoising_tpu.inference.export",
+                     "export_model"),
+    "model_builder": ("blind_image_denoising_tpu.models.hydra",
+                      "model_builder"),
+    "load_image": ("blind_image_denoising_tpu.data.file_operations",
+                   "load_image"),
+    "schedule_builder": ("blind_image_denoising_tpu.training.optimizer",
+                         "schedule_builder"),
+    "optimizer_builder": ("blind_image_denoising_tpu.training.optimizer",
+                          "optimizer_builder"),
+    "Multiplier": ("blind_image_denoising_tpu.layers.multipliers",
+                   "Multiplier"),
+    "ChannelwiseMultiplier": ("blind_image_denoising_tpu.layers.multipliers",
+                              "ChannelwiseMultiplier"),
+}
+
+
+def __getattr__(name):
+    if name in _LAZY_EXPORTS:
+        import importlib
+        module, attr = _LAZY_EXPORTS[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
 __all__ = [
     "logger",
     "load_config",
@@ -143,4 +175,4 @@ __all__ = [
     "load_default_denoiser",
     "build_pyramid_model",
     "build_inverse_pyramid_model",
-]
+] + sorted(_LAZY_EXPORTS)
