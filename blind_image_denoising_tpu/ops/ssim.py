@@ -25,7 +25,14 @@ def _fspecial_gauss_np(size: int, sigma: float) -> np.ndarray:
 
 
 def _window_reduce(x: jnp.ndarray, window1d: jnp.ndarray) -> jnp.ndarray:
-    """Separable depthwise Gaussian reduction with VALID padding."""
+    """Separable depthwise Gaussian reduction with VALID padding.
+
+    precision=HIGHEST is load-bearing: TPU convs default to bf16 passes,
+    and SSIM's variance term (mu11 − mu1²) is a catastrophic cancellation
+    at the 0–255 pixel scale — bf16 window sums make den1 swing past −c2,
+    which blows the (num+c2)/(den+c2) gradient up ~60× and destabilizes
+    training (observed: first-step global grad norm 940 on CPU vs 76k on
+    TPU before this fix)."""
     c = x.shape[-1]
     kh = window1d.reshape(-1, 1, 1, 1).astype(x.dtype)
     kw = window1d.reshape(1, -1, 1, 1).astype(x.dtype)
@@ -33,9 +40,11 @@ def _window_reduce(x: jnp.ndarray, window1d: jnp.ndarray) -> jnp.ndarray:
     kw = jnp.tile(kw, (1, 1, 1, c))
     dn = ("NHWC", "HWIO", "NHWC")
     x = lax.conv_general_dilated(x, kh, (1, 1), "VALID",
-                                 dimension_numbers=dn, feature_group_count=c)
+                                 dimension_numbers=dn, feature_group_count=c,
+                                 precision=lax.Precision.HIGHEST)
     x = lax.conv_general_dilated(x, kw, (1, 1), "VALID",
-                                 dimension_numbers=dn, feature_group_count=c)
+                                 dimension_numbers=dn, feature_group_count=c,
+                                 precision=lax.Precision.HIGHEST)
     return x
 
 
