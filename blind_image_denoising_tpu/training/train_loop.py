@@ -198,13 +198,15 @@ def train_loop(
                                         depth_weights)
             step = int(state.step)
 
-            # scalar metrics every log_every applied steps (fetching the
-            # metric scalars blocks on the device — don't do it per step
-            # when the host pipeline is the bottleneck)
+            # scalar metrics every log_every applied steps. ONE device_get
+            # for the whole dict: per-scalar float() costs a device round
+            # trip each (~10-50 ms over the TPU tunnel — it dominated step
+            # time before this batching)
             if step % log_every == 0:
-                scalars = {k: v for k, v in
-                           jax.tree_util.tree_map(float, metrics).items()}
-                scalars["learning_rate"] = float(lr_schedule(step))
+                scalars = {k: float(v) for k, v in
+                           jax.device_get(metrics).items()}
+                scalars["learning_rate"] = float(
+                    np.asarray(lr_schedule(step)))
                 scalars["epoch"] = epoch
                 now = time.time()
                 if now > t_last:
