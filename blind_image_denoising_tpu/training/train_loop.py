@@ -128,7 +128,9 @@ def train_loop(
         random_left_right=dataset_config.get("random_left_right", True),
         random_up_down=dataset_config.get("random_up_down", True),
         round_values=dataset_config.get("round_values", True),
-        grad_accum=grad_accum)
+        grad_accum=grad_accum,
+        remat=train_config.get("remat", False),
+        use_pallas_noise=tpu_config.get("pallas_noise", False))
     train_step = shard_train_step(train_step, mesh)
     eval_step = jax.jit(build_eval_step(hydra))
 

@@ -53,7 +53,6 @@ def build_train_step(
     """
     denoiser_loss = loss_fns["denoiser"]
     model_loss = loss_fns["model"]
-    has_batch_stats_keys = None  # resolved lazily from state
 
     def forward_loss(params, batch_stats, noisy, gt_scales, depth_weights,
                      dropout_rng):
@@ -62,17 +61,16 @@ def build_train_step(
         if batch_stats:
             variables["batch_stats"] = batch_stats
             mutable.append("batch_stats")
-        apply = model.apply
+
+        def apply(v, n, rng):
+            return model.apply(v, n, train=True, mutable=mutable,
+                               rngs={"dropout": rng})
+
         if remat:
-            apply = jax.checkpoint(
-                lambda v, n: model.apply(
-                    v, n, train=True, mutable=mutable,
-                    rngs={"dropout": dropout_rng}))
-            outputs, mutated = apply(variables, noisy)
-        else:
-            outputs, mutated = model.apply(
-                variables, noisy, train=True, mutable=mutable,
-                rngs={"dropout": dropout_rng})
+            # rematerialize the forward to trade FLOPs for HBM during the
+            # backward pass (large crops / deep configs)
+            apply = jax.checkpoint(apply)
+        outputs, mutated = apply(variables, noisy, dropout_rng)
 
         total = jnp.zeros((), jnp.float32)
         per_scale = []
