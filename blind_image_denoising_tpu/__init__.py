@@ -98,6 +98,19 @@ def load_model(name_or_path):
             f"({sorted(models)}) nor an artifact directory")
     if _os.path.isfile(_os.path.join(path, "params.msgpack")):
         return load_exported_model(path)
+    keras_path = _os.path.join(path, "model_hydra.keras")
+    if _os.path.isfile(keras_path):
+        # native import of the reference pretrained weights (float32, runs
+        # through the standard any-size Denoiser; preferred over the
+        # slower quantized TFLite graph)
+        from .inference.import_v56 import build_pretrained_v56
+        from .inference.denoiser import Denoiser
+        try:
+            model, variables = build_pretrained_v56(keras_path)
+            return Denoiser(model, variables, pad_mode="pow2")
+        except Exception as e:
+            logger.warning(f"native .keras import failed ({e}); "
+                           f"falling back to the TFLite graph")
     tflite_path = _os.path.join(path, "denoiser_model.tflite")
     if _os.path.isfile(tflite_path):
         from .inference.tflite import load_tflite_denoiser
