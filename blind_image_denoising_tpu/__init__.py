@@ -70,12 +70,20 @@ CONFIGS_DICT = {
 from . import models as _models_subpackage  # noqa: F401  (must come first)
 
 models = {}
-if _pretrained_dir.is_dir():
-    for _d in sorted(_pretrained_dir.iterdir()):
-        if not _d.is_dir():
+_search_dirs = [_pretrained_dir]
+# extra pretrained roots (colon-separated), e.g. a mounted reference repo
+for _extra in _os.environ.get("BID_TPU_PRETRAINED_PATH", "").split(":"):
+    if _extra:
+        _search_dirs.append(_pathlib.Path(_extra))
+for _root in _search_dirs:
+    if not _root.is_dir():
+        continue
+    for _d in sorted(_root.iterdir()):
+        if not _d.is_dir() or _d.name in models:
             continue
-        if (_d / "params.msgpack").is_file() \
-                or (_d / "denoiser_model.tflite").is_file():
+        if any((_d / f).is_file() for f in
+               ("params.msgpack", "model_hydra.keras",
+                "denoiser_model.tflite")):
             models[_d.name] = {
                 "directory": str(_d),
                 "configuration": str(_d / "pipeline.json"),
