@@ -34,20 +34,29 @@ def main():
     x = jnp.asarray(
         np.random.default_rng(0).uniform(0, 255, (batch, hw, hw, 3))
         .astype(np.float32))
+    # init at a tiny spatial size: fully-convolutional param shapes are
+    # size-independent and the small init compiles minutes faster cold
     variables = hydra.init({"params": jax.random.PRNGKey(0)},
-                           x[:1], train=False)
+                           jnp.zeros((1, 32, 32, 3), jnp.float32),
+                           train=False)
 
     fwd = jax.jit(lambda v, im: hydra.apply(v, im, train=False)[0])
     # warmup/compile
     jax.block_until_ready(fwd(variables, x))
 
-    # timed steady state
-    iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fwd(variables, x)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    # timed steady state: keep the window ≥ ~2s — short windows are
+    # dominated by dispatch jitter (observed 2x run-to-run swings at 20
+    # iters through the TPU tunnel)
+    iters = 50
+    while True:
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fwd(variables, x)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        if dt > 2.0 or iters >= 3200:
+            break
+        iters *= 2
 
     images_per_sec = batch * iters / dt
     print(json.dumps({
