@@ -223,11 +223,24 @@ def train_loop(
                     f"{scalars.get(TOTAL_LOSS_STR, float('nan')):.3f} "
                     f"mae0 {scalars.get('scale_0/mae_loss', float('nan')):.3f}")
 
-            # periodic noise-sweep evaluation + weight stats
+            # one-shot profiler trace window (reference's step-0 graph
+            # trace analog, train_loop.py:323-338; here a real device
+            # trace viewable in TensorBoard/Perfetto)
+            profile_at = train_config.get("profile_at_step", -1)
+            if profile_at > 0 and step == profile_at:
+                from .profiling import trace
+                with trace(os.path.join(str(ckpt_dir), "profile")):
+                    state, metrics = train_step(state, batch_dev, step_key,
+                                                depth_weights)
+                    jax.block_until_ready(metrics)
+                step = int(state.step)
+
+            # periodic noise-sweep evaluation + weight stats/figures
             if (eval_batch is not None and visualization_every > 0
                     and step % visualization_every == 0):
                 _noise_sweep_eval(eval_step, state, eval_batch, writer, step)
                 _weight_stats(state, writer, step)
+                _weight_figures(state, writer, step)
 
             if checkpoint_every > 0 and step % checkpoint_every == 0:
                 manager.save(state, force=True)
@@ -263,6 +276,18 @@ def _noise_sweep_eval(eval_step, state: TrainState, eval_batch: jnp.ndarray,
         if std == EVAL_NOISE_STDS[1]:
             writer.images(step, "eval/denoised", np.asarray(denoised))
             writer.images(step, "eval/noisy", np.asarray(noisy))
+
+
+def _weight_figures(state: TrainState, writer: MetricsWriter, step: int):
+    """Weight boxplot + histogram heatmap figures (reference
+    visualize.py:168-328 → TB), when matplotlib + TB are available."""
+    from ..visualize import weights_boxplot, weights_heatmap
+    fig = weights_boxplot(state.params)
+    if fig is not None:
+        writer.figure(step, "weights/boxplot", fig)
+    fig = weights_heatmap(state.params)
+    if fig is not None:
+        writer.figure(step, "weights/heatmap", fig)
 
 
 def _weight_stats(state: TrainState, writer: MetricsWriter, step: int):

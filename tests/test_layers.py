@@ -165,3 +165,43 @@ def test_resnet_blocks_residual_identity_at_init_zero_input():
     vs = m.init(RNG, x)
     y = m.apply(vs, x)
     np.testing.assert_allclose(np.asarray(y), 0.0, atol=1e-6)
+
+
+def test_gated_mlp():
+    m = L.GatedMLP(filters=16)
+    vs = m.init(RNG, X)
+    y = m.apply(vs, X)
+    assert y.shape == X.shape
+
+
+def test_value_compressor_bounds():
+    m = L.ValueCompressor(alpha=4.0, beta=0.5)
+    y = np.asarray(m.apply({}, jnp.asarray([-100.0, 0.0, 100.0])))
+    np.testing.assert_allclose(y, [-0.5, 0.0, 0.5], atol=1e-4)
+
+
+def test_smooth_and_global_multipliers():
+    m = L.SmoothChannelLearnableMultiplier()
+    vs = m.init(RNG, X)
+    y = np.asarray(m.apply(vs, X, mutable=["losses"])[0])
+    # sigmoid(2.5 + w) with w≈0 → gain ≈ 0.924
+    np.testing.assert_allclose(y, 0.924 * np.asarray(X), rtol=0.05)
+
+    m = L.GlobalLearnableMultiplier()
+    vs = m.init(RNG, X)
+    assert vs["params"]["w_multiplier"].shape == (1,)
+    y = m.apply(vs, X, mutable=["losses"])[0]
+    assert y.shape == X.shape
+
+
+def test_non_local_attention_shapes():
+    m = L.NonLocalAttention(attention_channels=4, use_logit_norm=True)
+    vs = m.init(RNG, X)
+    assert m.apply(vs, X, mutable=["losses"])[0].shape == (2, 16, 16, 4)
+
+
+def test_logit_norm_unit_scale():
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 8)) * 100)
+    y = np.asarray(L.logit_norm(x))
+    norms = np.linalg.norm(y, axis=-1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-2)
