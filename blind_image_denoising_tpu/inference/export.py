@@ -95,11 +95,38 @@ def export_model(
     return str(out_dir)
 
 
+def save_params_artifact(params, config: dict,
+                         output_directory: Union[str, Path]) -> str:
+    """Write a loadable artifact dir from a params pytree + pipeline
+    config (used for fine-tuned snapshots outside the train loop)."""
+    out = Path(str(output_directory))
+    out.mkdir(parents=True, exist_ok=True)
+    with open(out / PARAMS_FILE, "wb") as f:
+        f.write(flax.serialization.to_bytes({"params": params}))
+    save_config(config, str(out / CONFIG_FILE))
+    return str(out)
+
+
 def load_exported_model(directory: Union[str, Path],
                         cast_to_uint8: bool = True) -> Denoiser:
     """Load an exported artifact directory into a ready Denoiser."""
     directory = Path(str(directory))
     config = load_config(str(directory / CONFIG_FILE))
+
+    # special model families not buildable from the standard hydra config
+    if config.get("model", {}).get("type") == "unet_laplacian_v56":
+        from ..models.unet_laplacian_v56 import UnetLaplacianV56
+        model = UnetLaplacianV56()
+        template = {"params": jax.eval_shape(
+            lambda: model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 64, 64, 3)),
+                               all_scales=True))["params"]}
+        template = jax.tree_util.tree_map(
+            lambda a: jnp.zeros(a.shape, a.dtype), template)
+        with open(directory / PARAMS_FILE, "rb") as f:
+            variables = flax.serialization.from_bytes(template, f.read())
+        return Denoiser(model, variables, cast_to_uint8=cast_to_uint8)
+
     results = model_builder(config["model"])
 
     # build a template then overwrite with saved bytes

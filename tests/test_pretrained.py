@@ -75,3 +75,20 @@ def test_pretrained_beats_noisy_kitti(denoiser):
                             0, 255).astype(np.uint8)
             den = np.asarray(denoiser(noisy)).astype(np.float32)
             assert np.abs(den - clean).mean() < np.abs(noisy - clean).mean()
+
+
+def test_shipped_finetuned_artifact():
+    """The package ships its own fine-tuned pretrained model
+    (unet_laplacian_v56_highnoise): loads by registry name, denoises
+    high-sigma noise."""
+    import blind_image_denoising_tpu as bid
+    if "unet_laplacian_v56_highnoise" not in bid.models:
+        pytest.skip("shipped artifact not present")
+    den = bid.load_model("unet_laplacian_v56_highnoise")
+    g = np.linspace(0, 255, 64)[None, :, None] * np.ones((64, 1, 3))[None]
+    clean = np.broadcast_to(np.clip(g, 0, 255),
+                            (1, 64, 64, 3)).astype(np.float32)
+    noisy = np.clip(clean + np.random.default_rng(1)
+                    .normal(0, 60, clean.shape), 0, 255).astype(np.uint8)
+    out = np.asarray(den(noisy)).astype(np.float32)
+    assert np.abs(out - clean).mean() < 0.25 * np.abs(noisy - clean).mean()
