@@ -39,12 +39,18 @@ def receptive_field_margin(depth: int, encoder_kernel: int = 5,
                            width: int = 1) -> int:
     """Conservative half-receptive-field for a unet_laplacian-style model:
     each level stacks `width` blocks of k×k depthwise convs, and each
-    downsample doubles the stride of everything below it."""
+    downsample doubles the stride of everything below it.
+
+    The result is rounded UP to a multiple of 2**depth: strided/pooled 2×
+    downsampling samples absolute row parities, so every shard's slab must
+    start at a row ≡ 0 (mod the total downsample factor) for the sharded
+    pyramid to align with the unsharded one."""
     per_level = (encoder_kernel // 2) * (width + 2) + 2
     margin = 0
     for d in range(depth):
         margin += per_level * (2 ** d)
-    return margin
+    factor = 2 ** depth
+    return ((margin + factor - 1) // factor) * factor
 
 
 def denoise_spatially_sharded(

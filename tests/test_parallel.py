@@ -117,3 +117,41 @@ def test_graft_entry_dryrun():
     sys.path.insert(0, "/root/repo")
     import __graft_entry__
     __graft_entry__.dryrun_multichip(len(jax.devices()))
+
+
+def test_spatial_halo_flagship_unet_laplacian():
+    """Halo-exchange inference of a REAL (tiny) unet_laplacian matches the
+    unsharded forward when the margin covers its receptive field — the
+    correctness insurance for multi-chip full-frame denoising."""
+    from blind_image_denoising_tpu.models.hydra import model_builder
+
+    cfg = {"backbone": {
+        "type": "unet_laplacian", "input_shape": ["?", "?", 3],
+        "depth": 2, "width": 1, "filters": 4,
+        "encoder_kernel_size": 3, "decoder_kernel_size": 3,
+        "gaussian_kernel_size": 2, "activation": "leaky_relu_01",
+        "upsample_type": "upsample_nearest_conv2d", "downsample_type": "strides",
+        "use_bn": False, "use_ln": True, "use_bias": False,
+        "use_concat": False, "use_gamma": True,
+        "use_laplacian_averaging": True, "use_mix_project": False,
+        "use_self_attention": False, "use_attention_gates": False,
+        "use_output_normalization": False,
+        "multiple_scale_outputs": False, "depth_drop_rate": 0.0,
+        "kernel_regularizer": "l2", "kernel_initializer": "glorot_normal"},
+        "denoiser": {"filters": 4, "use_bias": False, "output_channels": 3}}
+    hydra = model_builder(cfg).hydra
+    x = jnp.asarray(np.random.default_rng(0)
+                    .uniform(0, 255, (1, 64, 32, 3)).astype(np.float32))
+    vs = hydra.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    vs = {k: v for k, v in vs.items() if k in ("params", "batch_stats")}
+
+    expected = np.asarray(hydra.apply(vs, x, train=False)[0])
+
+    mesh = create_mesh(data=2, spatial=4)
+    # margin must be a multiple of the total downsample factor (2) and
+    # cover the receptive field of the depth-2, k3 model
+    fwd = denoise_spatially_sharded(
+        lambda v, im: hydra.apply(v, im, train=False)[0], vs, mesh,
+        margin=receptive_field_margin(2, 3, 1))
+    got = np.asarray(fwd(spatial_shard_image(mesh, x)))
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-3)
