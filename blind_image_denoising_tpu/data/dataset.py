@@ -70,7 +70,8 @@ class _EpochIterable:
                  no_crops_per_image: int, num_channels: int,
                  seed: int = 0, num_workers: int = 8,
                  prefetch_batches: int = 4,
-                 min_crop_std: float = 0.0):
+                 min_crop_std: float = 0.0,
+                 repeat: bool = False):
         self._files = files
         self._batch_size = batch_size
         self._crop_size = crop_size
@@ -81,6 +82,7 @@ class _EpochIterable:
         self._workers = num_workers
         self._prefetch = prefetch_batches
         self._min_crop_std = min_crop_std
+        self._repeat = repeat
         self._cache: dict = {}
         self._cache_bytes = 0
         self._cache_full = False
@@ -94,14 +96,28 @@ class _EpochIterable:
         out_q: "queue.Queue" = queue.Queue(
             maxsize=self._prefetch * self._batch_size + self._batch_size)
         stop = threading.Event()
-        file_iter = iter(files)
+        state = {"it": iter(files), "round": 0}
         lock = threading.Lock()
+
+        def next_path():
+            # repeat mode: reshuffle and loop forever (the reference's
+            # per-epoch re-iteration costs a pipeline restart; production
+            # multi-epoch runs stream continuously instead)
+            with lock:
+                path = next(state["it"], None)
+                if path is None and self._repeat:
+                    state["round"] += 1
+                    reshuffled = list(files)
+                    random.Random((self._seed, self._epoch,
+                                   state["round"]).__hash__()).shuffle(reshuffled)
+                    state["it"] = iter(reshuffled)
+                    path = next(state["it"], None)
+                return path
 
         def worker(worker_id: int):
             wrng = random.Random((self._seed, self._epoch, worker_id).__hash__())
             while not stop.is_set():
-                with lock:
-                    path = next(file_iter, None)
+                path = next_path()
                 if path is None:
                     out_q.put(None)
                     return
@@ -197,7 +213,8 @@ def dataset_builder(config: Dict) -> DatasetResults:
         training = _EpochIterable(
             files, batch_size=batch_size, crop_size=crop_size,
             no_crops_per_image=no_crops, num_channels=num_channels,
-            min_crop_std=float(config.get("min_crop_std", 0.0)))
+            min_crop_std=float(config.get("min_crop_std", 0.0)),
+            repeat=bool(config.get("repeat", False)))
     else:
         logger.warning("no dataset images found; using synthetic stream")
         training = SyntheticDataset(batch_size, crop_size, num_channels)

@@ -84,3 +84,17 @@ def test_dataset_builder_synthetic_fallback():
     batches = list(ds.training)
     assert batches and batches[0].shape == (2, 16, 16, 3)
     assert batches[0].min() >= 0.0 and batches[0].max() <= 255.0
+
+
+def test_dataset_repeat_mode_streams_continuously(image_dir):
+    cfg = {
+        "batch_size": 4, "no_crops_per_image": 1, "repeat": True,
+        "input_shape": [16, 16, 3],
+        "inputs": [{"directory": image_dir}],
+    }
+    ds = dataset_builder(cfg)
+    it = iter(ds.training)
+    # 7 files x 1 crop = 1.75 batches/pass; pulling 10 batches requires
+    # looping the file list ~6 times
+    batches = [next(it) for _ in range(10)]
+    assert all(b.shape == (4, 16, 16, 3) for b in batches)
