@@ -43,7 +43,9 @@ def random_crops(image: np.ndarray, crop_size, no_crops: int,
     h, w = image.shape[:2]
     if h < ch or w < cw:
         pad_h, pad_w = max(0, ch - h), max(0, cw - w)
-        image = np.pad(image, ((0, pad_h), (0, pad_w), (0, 0)), mode="reflect")
+        # edge padding: 'reflect' raises when the pad exceeds dim-1 (tiny
+        # thumbnails vs large crops)
+        image = np.pad(image, ((0, pad_h), (0, pad_w), (0, 0)), mode="edge")
         h, w = image.shape[:2]
     crops = []
     for _ in range(no_crops):
@@ -116,28 +118,34 @@ class _EpochIterable:
 
         def worker(worker_id: int):
             wrng = random.Random((self._seed, self._epoch, worker_id).__hash__())
-            while not stop.is_set():
-                path = next_path()
-                if path is None:
-                    out_q.put(None)
-                    return
-                img = self._cache.get(path)
-                if img is None:
+            try:
+                while not stop.is_set():
+                    path = next_path()
+                    if path is None:
+                        return
                     try:
-                        img = load_image(path, num_channels=self._channels,
-                                         dtype=np.float32)
-                    except Exception as e:  # corrupt file: skip
-                        logger.warning(f"failed to decode [{path}]: {e}")
+                        img = self._cache.get(path)
+                        if img is None:
+                            img = load_image(path,
+                                             num_channels=self._channels,
+                                             dtype=np.float32)
+                            if not self._cache_full:
+                                self._cache[path] = img
+                                self._cache_bytes += img.nbytes
+                                if self._cache_bytes > self.CACHE_LIMIT_BYTES:
+                                    self._cache_full = True
+                        crops = random_crops(img, self._crop_size,
+                                             self._no_crops, wrng,
+                                             min_crop_std=self._min_crop_std)
+                    except Exception as e:  # corrupt/undersized file: skip
+                        logger.warning(f"skipping [{path}]: {e}")
                         continue
-                    if not self._cache_full:
-                        self._cache[path] = img
-                        self._cache_bytes += img.nbytes
-                        if self._cache_bytes > self.CACHE_LIMIT_BYTES:
-                            self._cache_full = True
-                for crop in random_crops(img, self._crop_size,
-                                         self._no_crops, wrng,
-                                         min_crop_std=self._min_crop_std):
-                    out_q.put(np.ascontiguousarray(crop))
+                    for crop in crops:
+                        out_q.put(np.ascontiguousarray(crop))
+            finally:
+                # the end sentinel must arrive even if this worker dies,
+                # or the consumer blocks forever waiting for it
+                out_q.put(None)
 
         threads = [threading.Thread(target=worker, args=(i,), daemon=True)
                    for i in range(self._workers)]

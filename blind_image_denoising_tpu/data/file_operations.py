@@ -71,7 +71,10 @@ def load_image(
     from PIL import Image
 
     img = Image.open(str(path))
-    img = img.convert("RGB" if num_channels == 3 else "L")
+    mode = {1: "L", 3: "RGB", 4: "RGBA"}.get(num_channels)
+    if mode is None:
+        raise ValueError(f"unsupported num_channels [{num_channels}]")
+    img = img.convert(mode)
 
     if image_size is not None:
         th, tw = int(image_size[0]), int(image_size[1])

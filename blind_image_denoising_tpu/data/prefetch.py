@@ -30,8 +30,9 @@ def device_prefetch(iterable: Iterable, sharding=None,
             for item in iterable:
                 arr = jax.device_put(np.ascontiguousarray(item), sharding)
                 q.put(arr)
-        finally:
             q.put(_END)
+        except BaseException as e:  # surface failures in the consumer
+            q.put(e)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
@@ -39,6 +40,8 @@ def device_prefetch(iterable: Iterable, sharding=None,
         item = q.get()
         if item is _END:
             return
+        if isinstance(item, BaseException):
+            raise item
         yield item
 
 

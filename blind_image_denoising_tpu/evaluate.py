@@ -37,13 +37,19 @@ def noise_sweep(
     from .ops.losses import psnr
     from .ops.ssim import ssim
 
-    rng = np.random.default_rng(seed)
+    import jax
+    import jax.random as jrandom
+    from .ops.noise import truncated_normal
+
     records = []
-    for std in stds:
+    for i, std in enumerate(stds):
         if std > 0:
-            # truncated-normal at ±2σ, matching the README protocol
-            noise = rng.normal(0.0, std, images.shape)
-            noise = np.clip(noise, -2 * std, 2 * std)
+            # true truncated normal at ±2σ (redraw semantics, NOT clipping
+            # — clipping leaves point masses at the bounds), matching
+            # tf.random.truncated_normal and the README protocol
+            noise = np.asarray(truncated_normal(
+                jrandom.fold_in(jrandom.PRNGKey(seed), i),
+                images.shape, mean=0.0, std=float(std)))
             noisy = np.clip(np.round(images + noise), 0, 255)
         else:
             noisy = images

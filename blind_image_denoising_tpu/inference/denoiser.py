@@ -72,13 +72,20 @@ class Denoiser:
 
     def _run_tiled(self, x: jnp.ndarray) -> jnp.ndarray:
         """Row-band tiling with halo; exact for halo ≥ half receptive
-        field (fully-convolutional model)."""
+        field (fully-convolutional model).
+
+        Band starts are aligned DOWN to a multiple of ``pad_multiple``
+        (≥ the model's total downsample factor): strided/pooled 2×
+        downsampling samples absolute row parities, so misaligned band
+        offsets would shift every pyramid level's phase and leave visible
+        seams."""
         _, h, w, _ = x.shape
         t, halo = self._tile_rows, self._tile_halo
+        align = max(1, self._pad_multiple)
         outs = []
         for start in range(0, h, t):
             stop = min(start + t, h)
-            lo = max(0, start - halo)
+            lo = (max(0, start - halo) // align) * align
             hi = min(h, stop + halo)
             band = self._run_padded(x[:, lo:hi])
             outs.append(band[:, start - lo: start - lo + (stop - start)])

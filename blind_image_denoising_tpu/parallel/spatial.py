@@ -72,6 +72,11 @@ def denoise_spatially_sharded(
         if n_spatial == 1:
             return apply_fn(vars_, x)
         local_h = x.shape[1]
+        if margin > local_h:
+            raise ValueError(
+                f"halo margin {margin} exceeds the per-shard height "
+                f"{local_h}: ppermute can only exchange whole-neighbor "
+                f"slabs; use fewer spatial shards or a taller image")
         idx = lax.axis_index("spatial")
         up = [(i, (i + 1) % n_spatial) for i in range(n_spatial)]
         down = [(i, (i - 1) % n_spatial) for i in range(n_spatial)]

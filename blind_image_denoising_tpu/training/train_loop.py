@@ -194,10 +194,31 @@ def train_loop(
         batches = device_prefetch(
             GroupedBatches(dataset.training, grad_accum),
             sharding=data_sharding(mesh), prefetch=2)
+        profile_at = train_config.get("profile_at_step", -1)
         for batch_dev in batches:
             key, step_key = jax.random.split(key)
-            state, metrics = train_step(state, batch_dev, step_key,
-                                        depth_weights)
+
+            # repeat-mode streams never end an epoch, so refresh the
+            # deep-supervision ramp from step progress periodically
+            if (total_steps > 0 and int(state.step) % 100 == 0
+                    and epochs in (-1, 0)):
+                pct_done = min(1.0, int(state.step) / float(total_steps))
+                depth_weights = jnp.asarray(ds_schedule(pct_done),
+                                            jnp.float32)
+
+            if profile_at > 0 and int(state.step) + 1 == profile_at:
+                # one-shot device trace of a REGULAR training step
+                # (reference's step-0 graph trace analog,
+                # train_loop.py:323-338) — profiling must observe, not
+                # re-apply a batch
+                from .profiling import trace
+                with trace(os.path.join(str(ckpt_dir), "profile")):
+                    state, metrics = train_step(state, batch_dev, step_key,
+                                                depth_weights)
+                    jax.block_until_ready(metrics)
+            else:
+                state, metrics = train_step(state, batch_dev, step_key,
+                                            depth_weights)
             step = int(state.step)
 
             # scalar metrics every log_every applied steps. ONE device_get
@@ -216,24 +237,12 @@ def train_loop(
                         (step - steps_last) / (now - t_last)
                 t_last, steps_last = now, step
                 writer.scalars(step, scalars)
-
-            if step % 100 == 0:
-                logger.info(
-                    f"step {step}: total "
-                    f"{scalars.get(TOTAL_LOSS_STR, float('nan')):.3f} "
-                    f"mae0 {scalars.get('scale_0/mae_loss', float('nan')):.3f}")
-
-            # one-shot profiler trace window (reference's step-0 graph
-            # trace analog, train_loop.py:323-338; here a real device
-            # trace viewable in TensorBoard/Perfetto)
-            profile_at = train_config.get("profile_at_step", -1)
-            if profile_at > 0 and step == profile_at:
-                from .profiling import trace
-                with trace(os.path.join(str(ckpt_dir), "profile")):
-                    state, metrics = train_step(state, batch_dev, step_key,
-                                                depth_weights)
-                    jax.block_until_ready(metrics)
-                step = int(state.step)
+                if step % (log_every * 10) == 0:
+                    logger.info(
+                        f"step {step}: total "
+                        f"{scalars.get(TOTAL_LOSS_STR, float('nan')):.3f} "
+                        f"mae0 "
+                        f"{scalars.get('scale_0/mae_loss', float('nan')):.3f}")
 
             # periodic noise-sweep evaluation + weight stats/figures
             if (eval_batch is not None and visualization_every > 0
