@@ -168,6 +168,17 @@ class _EpochIterable:
             # drop remainder (reference batches with drop_remainder=True)
         finally:
             stop.set()
+            # unblock workers stuck in out_q.put() on the bounded queue
+            # (early consumer exit, e.g. total_steps reached), then join —
+            # otherwise 8 threads + a queue of crops leak per aborted epoch
+            for t in threads:
+                while t.is_alive():
+                    try:
+                        while True:
+                            out_q.get_nowait()
+                    except queue.Empty:
+                        pass
+                    t.join(timeout=0.05)
 
 
 class SyntheticDataset:

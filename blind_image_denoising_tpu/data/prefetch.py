@@ -24,25 +24,49 @@ def device_prefetch(iterable: Iterable, sharding=None,
     """
     q: "queue.Queue" = queue.Queue(maxsize=prefetch)
     _END = object()
+    stop = threading.Event()
+
+    def _put(item):
+        # bounded put that aborts when the consumer is gone — otherwise
+        # the producer blocks forever on a full queue after an early exit
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer():
+        it = iter(iterable)
         try:
-            for item in iterable:
+            for item in it:
+                if stop.is_set():
+                    break
                 arr = jax.device_put(np.ascontiguousarray(item), sharding)
-                q.put(arr)
-            q.put(_END)
+                if not _put(arr):
+                    break
+            _put(_END)
         except BaseException as e:  # surface failures in the consumer
-            q.put(e)
+            _put(e)
+        finally:
+            # release the upstream pipeline (dataset worker threads) promptly
+            close = getattr(it, "close", None)
+            if close is not None:
+                close()
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
 
 
 class GroupedBatches:
@@ -55,8 +79,15 @@ class GroupedBatches:
 
     def __iter__(self):
         buf = []
-        for batch in self._ds:
-            buf.append(batch)
-            if len(buf) == self._n:
-                yield np.concatenate(buf, axis=0) if self._n > 1 else buf[0]
-                buf = []
+        it = iter(self._ds)
+        try:
+            for batch in it:
+                buf.append(batch)
+                if len(buf) == self._n:
+                    yield np.concatenate(buf, axis=0) \
+                        if self._n > 1 else buf[0]
+                    buf = []
+        finally:
+            close = getattr(it, "close", None)
+            if close is not None:
+                close()

@@ -37,20 +37,18 @@ def noise_sweep(
     from .ops.losses import psnr
     from .ops.ssim import ssim
 
-    import jax
     import jax.random as jrandom
-    from .ops.noise import truncated_normal
+    from .ops.noise import corrupt_batch_fixed_std
 
     records = []
     for i, std in enumerate(stds):
         if std > 0:
-            # true truncated normal at ±2σ (redraw semantics, NOT clipping
-            # — clipping leaves point masses at the bounds), matching
-            # tf.random.truncated_normal and the README protocol
-            noise = np.asarray(truncated_normal(
+            # true ±2σ truncated normal (redraw semantics, matching
+            # tf.random.truncated_normal and the README protocol) — the
+            # same corruption the train-loop eval sweep uses
+            noisy = np.clip(np.asarray(corrupt_batch_fixed_std(
                 jrandom.fold_in(jrandom.PRNGKey(seed), i),
-                images.shape, mean=0.0, std=float(std)))
-            noisy = np.clip(np.round(images + noise), 0, 255)
+                images, std=float(std))), 0, 255)
         else:
             noisy = images
         den = np.asarray(denoiser(noisy.astype(np.uint8))).astype(np.float32)

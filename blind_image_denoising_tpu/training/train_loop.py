@@ -159,6 +159,16 @@ def train_loop(
     key = jax.random.PRNGKey(int(state.step) + 1)
     finished = False
     t_last, steps_last = time.time(), int(state.step)
+    repeat_stream = bool(dataset_config.get("repeat", False))
+    _last_progress = {"step": int(state.step)}
+    _refresh_marker = {"step": -1}
+
+    def steps_since_print_or_refresh(s_, every=100):
+        step_ = int(s_.step)
+        if step_ - _refresh_marker["step"] >= every:
+            _refresh_marker["step"] = step_
+            return True
+        return False
 
     # --- preemption safety: SIGTERM/SIGINT → finish the current step,
     # checkpoint, exit cleanly (the reference has no preemption handling,
@@ -177,7 +187,8 @@ def train_loop(
         except ValueError:  # non-main thread
             pass
 
-    while not finished and (epochs == -1 or int(state.epoch) < epochs):
+    try:
+      while not finished and (epochs == -1 or int(state.epoch) < epochs):
         epoch = int(state.epoch)
         if epochs not in (-1, 0):
             pct_done = epoch / float(epochs)
@@ -195,13 +206,15 @@ def train_loop(
             GroupedBatches(dataset.training, grad_accum),
             sharding=data_sharding(mesh), prefetch=2)
         profile_at = train_config.get("profile_at_step", -1)
-        for batch_dev in batches:
+        try:
+          for batch_dev in batches:
             key, step_key = jax.random.split(key)
 
-            # repeat-mode streams never end an epoch, so refresh the
-            # deep-supervision ramp from step progress periodically
-            if (total_steps > 0 and int(state.step) % 100 == 0
-                    and epochs in (-1, 0)):
+            # repeat-mode / epochless streams never end an epoch, so
+            # refresh the deep-supervision ramp from step progress
+            # periodically (keyed on the stream property, not on epochs)
+            if (total_steps > 0 and steps_since_print_or_refresh(state)
+                    and (repeat_stream or epochs in (-1, 0))):
                 pct_done = min(1.0, int(state.step) / float(total_steps))
                 depth_weights = jnp.asarray(ds_schedule(pct_done),
                                             jnp.float32)
@@ -237,7 +250,8 @@ def train_loop(
                         (step - steps_last) / (now - t_last)
                 t_last, steps_last = now, step
                 writer.scalars(step, scalars)
-                if step % (log_every * 10) == 0:
+                if step - _last_progress["step"] >= 100:
+                    _last_progress["step"] = step
                     logger.info(
                         f"step {step}: total "
                         f"{scalars.get(TOTAL_LOSS_STR, float('nan')):.3f} "
@@ -257,15 +271,21 @@ def train_loop(
             if preempted["flag"] or (total_steps > 0 and step >= total_steps):
                 finished = True
                 break
+        finally:
+            # stop the prefetch producer + dataset workers promptly on
+            # early exit (total_steps / preemption)
+            batches.close()
 
         state = state.replace(epoch=state.epoch + 1)
         manager.save(state, force=True)
-
-    manager.save(state, force=True)
-    manager.wait()
-    writer.close()
-    for sig, handler in prev_handlers.items():
-        signal.signal(sig, handler)
+    finally:
+        # always checkpoint/flush/restore handlers — including when a
+        # pipeline error propagates out of the loop
+        manager.save(state, force=True)
+        manager.wait()
+        writer.close()
+        for sig, handler in prev_handlers.items():
+            signal.signal(sig, handler)
     return state
 
 
