@@ -1,12 +1,13 @@
-"""Kernel regularization penalties over parameter pytrees.
+"""Kernel regularization penalties as explicit pure functions.
 
 The reference attaches Keras regularizers to layers and sums ``model.losses``
-(reference regularizers.py, loss.py:181-187). Here regularizers are explicit
-pure functions ``w -> scalar``; model builders emit a list of
-``(path_regex, penalty_fn)`` rules and :func:`regularization_loss` applies
-them to the flattened param pytree inside the jitted train step — this keeps
-the whole penalty inside one XLA program instead of Keras's per-layer side
-outputs.
+(reference regularizers.py, loss.py:181-187). Here regularizers are pure
+functions ``w -> scalar`` built by :func:`builder` from the same config
+strings/dicts; layers apply them to their own kernels at forward time and
+``sow`` the penalties into the Flax 'losses' collection
+(layers/conv.py ``sow_regularizer``), which the train step sums — the direct
+analog of ``tf.add_n(model.losses)``, but inside one XLA program and only
+when the 'losses' collection is mutable (training), so serving never pays.
 
 Includes the ERF (effective receptive field) regularizer that the reference
 configs/README.md:17 and README.md:173-185 reference but whose implementation
@@ -16,10 +17,9 @@ fields. Implemented from that spec (documented deviation: no reference code
 exists to compare against).
 """
 
-import re
 from collections.abc import Mapping
 from enum import Enum
-from typing import Callable, Dict, List, Tuple, Union
+from typing import Callable, Dict, List, Union
 
 import numpy as np
 import jax.numpy as jnp
@@ -182,28 +182,3 @@ def builder(config: Union[str, Dict, List]) -> RegFn:
         fns = [_builder_helper(c) for c in config]
         return lambda w: sum(fn(w) for fn in fns)
     return _builder_helper(config)
-
-
-# --- pytree application -------------------------------------------------
-
-RegRule = Tuple[str, RegFn]  # (path regex, penalty fn)
-
-
-def regularization_loss(params, rules: List[RegRule]) -> jnp.ndarray:
-    """Sum penalty over all params whose '/'-joined path matches a rule.
-
-    First matching rule wins (rules are emitted most-specific-first by the
-    model builders). Equivalent to tf.add_n(model.losses) in the reference
-    train step (loss.py:181-187).
-    """
-    import flax
-
-    flat = flax.traverse_util.flatten_dict(params, sep="/")
-    compiled = [(re.compile(pattern), fn) for pattern, fn in rules]
-    total = jnp.asarray(0.0, dtype=jnp.float32)
-    for path, w in flat.items():
-        for pattern, fn in compiled:
-            if pattern.search(path):
-                total += fn(w.astype(jnp.float32))
-                break
-    return total

@@ -128,7 +128,7 @@ def build_train_step(
         rngs = jax.random.split(rng, n)
 
         def micro(carry, inp):
-            grads_acc, batch_stats, _ = carry
+            grads_acc, batch_stats, metrics_acc = carry
             step_rng, clean = inp
             k_data, k_dropout = jax.random.split(step_rng)
             noisy, gt_scales = prepare_micro_batch(k_data, clean)
@@ -136,10 +136,12 @@ def build_train_step(
                 state.params, batch_stats, noisy, gt_scales,
                 depth_weights, k_dropout)
             grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
+            # metrics_acc is None only on the structure-seeding first call
+            if metrics_acc is not None:
+                metrics = jax.tree_util.tree_map(jnp.add, metrics_acc, metrics)
             return (grads_acc, batch_stats, metrics), None
 
         zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
-        zero_metrics_shape = None
         # run the first micro-batch to seed metrics structure, scan the rest
         (grads, batch_stats, metrics), _ = micro(
             (zero_grads, state.batch_stats, None), (rngs[0], chunks[0]))
@@ -149,6 +151,9 @@ def build_train_step(
                 (rngs[1:], chunks[1:]))
 
         grads = jax.tree_util.tree_map(lambda g: g / float(n), grads)
+        # logged losses are the mean over all micro-batches, matching the
+        # reference's accumulated averages (train_loop.py:418-437)
+        metrics = jax.tree_util.tree_map(lambda m: m / float(n), metrics)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
 

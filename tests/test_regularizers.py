@@ -76,26 +76,3 @@ def test_builder_string_dict_list():
         assert float(fn(w)) >= 0.0
     with pytest.raises(Exception):
         R.builder("unknown_reg")
-
-
-def test_regularization_loss_rule_matching():
-    params = {
-        "encoder_0": {"conv": {"kernel": jnp.ones((1, 1, 2, 2))}},
-        "head": {"conv": {"kernel": jnp.ones((1, 1, 2, 2)), "bias": jnp.ones((2,))}},
-    }
-    rules = [
-        (r"encoder_.*?/kernel$", lambda w: R.l1(w, 1.0)),
-        (r"head/.*?/kernel$", lambda w: R.l2(w, 1.0)),
-    ]
-    total = float(R.regularization_loss(params, rules))
-    # encoder kernel: l1 of 4 ones = 4; head kernel: l2 of 4 ones = 4; bias unmatched
-    assert total == pytest.approx(8.0)
-
-
-def test_first_matching_rule_wins():
-    params = {"a": {"kernel": jnp.ones((2, 2))}}
-    rules = [
-        (r"a/kernel", lambda w: R.l1(w, 1.0)),
-        (r".*", lambda w: R.l1(w, 100.0)),
-    ]
-    assert float(R.regularization_loss(params, rules)) == pytest.approx(4.0)

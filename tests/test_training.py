@@ -116,6 +116,57 @@ def test_optimizer_builder_types(otype):
     assert np.isfinite(np.asarray(updates["w"])).all()
 
 
+def test_grad_accum_metrics_are_microbatch_means():
+    """Logged metrics under grad accumulation must average over all
+    micro-batches (reference train_loop.py:418-437 accumulates), not just
+    report the last one."""
+    from blind_image_denoising_tpu.models.hydra import model_builder
+    from blind_image_denoising_tpu.training.train_state import create_train_state
+    from blind_image_denoising_tpu.training.train_step import build_train_step
+
+    cfg = {"backbone": {
+        "type": "resnet", "input_shape": ["?", "?", 3], "filters": 4,
+        "no_layers": 1, "kernel_size": 3, "block_kernels": [3],
+        "block_filters": [4], "activation": "relu", "batchnorm": False,
+        "value_range": [0, 255], "kernel_regularizer": "l1",
+        "kernel_initializer": "glorot_normal"},
+        "denoiser": {"use_bias": False, "output_channels": 3}}
+    loss_fns = loss_function_builder(
+        {"hinge": 0.0, "mae_multiplier": 1.0, "ssim_multiplier": -1.0,
+         "regularization": 0.0})
+    tx, _ = optimizer_builder({
+        "type": "ADAM",
+        "schedule": {"type": "cosine_decay", "config": {
+            "learning_rate": 0.01, "decay_steps": 1000}}})
+
+    hydra = model_builder(cfg).hydra
+    sample = jnp.zeros((2, 16, 16, 3))
+    state = create_train_state(hydra, tx, jax.random.PRNGKey(0), sample)
+    # no noise / flips / dropout -> per-micro-batch loss depends only on the
+    # data, so the accumulated metric is checkable exactly
+    step_fn = jax.jit(build_train_step(
+        hydra, tx, loss_fns, no_outputs=1, additive_noise=None,
+        multiplicative_noise=None, random_left_right=False,
+        random_up_down=False, grad_accum=2))
+
+    rng_img = np.random.default_rng(1)
+    a = rng_img.uniform(0, 64, (2, 16, 16, 3)).astype(np.float32)
+    b = rng_img.uniform(128, 255, (2, 16, 16, 3)).astype(np.float32)
+    dw = jnp.ones((1,), jnp.float32)
+    key = jax.random.PRNGKey(7)
+
+    def metric_of(chunk0, chunk1):
+        batch = jnp.asarray(np.concatenate([chunk0, chunk1], axis=0))
+        _, metrics = step_fn(state, batch, key, dw)
+        return float(metrics[TOTAL_LOSS_STR])
+
+    m_ab = metric_of(a, b)
+    f_a = metric_of(a, a)   # == f(a): mean of two identical micro-batches
+    f_b = metric_of(b, b)
+    assert f_a != pytest.approx(f_b, rel=1e-3)  # distinguishable chunks
+    assert m_ab == pytest.approx((f_a + f_b) / 2.0, rel=1e-5)
+
+
 def test_train_step_decreases_loss_tiny_model():
     """A few steps on a fixed batch must reduce total loss (sanity of the
     whole fwd/bwd/update path)."""
