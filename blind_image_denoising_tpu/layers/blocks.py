@@ -21,6 +21,7 @@ from .conv import ConvBlock, DenseBlock, conv_block_from_params
 from .multipliers import ChannelwiseMultiplier, Multiplier
 from .selector import SelectorBlock
 from .stochastic import RandomOnOff
+from ..ops.normalize import local_normalization
 from ..constants import (
     DEFAULT_CHANNELWISE_MULTIPLIER_L1,
     DEFAULT_LN_EPSILON,
@@ -65,6 +66,14 @@ class ResnetBlocks(nn.Module):
     use_channelwise: bool = False
     selector_params: Optional[Dict] = None
     post_addition_activation: Optional[str] = None
+    # Local mean/sigma normalization of each block's residual-branch input
+    # (avg-pool window). The reference threads mean_sigma_params
+    # {'pool_size': (11, 11)} into resnet_blocks_full but its snapshot never
+    # applies it (backbone_blocks.py:127 assigns use_mean_sigma, nothing
+    # reads it) — we implement the documented intent ("add variance for each
+    # block", backbone_resnet.py:78) with the reference's own
+    # local_normalization op (utilities.py:581-596).
+    mean_sigma_pool: Optional[int] = None
     dtype: Any = None
 
     @nn.compact
@@ -87,6 +96,10 @@ class ResnetBlocks(nn.Module):
         for i in range(self.no_layers):
             previous = x
             x_first = None
+
+            if self.mean_sigma_pool is not None:
+                x = local_normalization(
+                    x, pool_size=(self.mean_sigma_pool, self.mean_sigma_pool))
 
             if self.first_conv_params is not None:
                 x = conv_block_from_params(

@@ -128,6 +128,9 @@ class _ResidualSkeleton(nn.Module):
             use_multiplier=cfg.get("add_learnable_multiplier", False),
             use_channelwise=cfg.get("add_channelwise_scaling", False),
             selector_params=dict(selector_params) if selector_params else None,
+            # reference backbone_resnet.py:228-229 pool_size (11, 11)
+            mean_sigma_pool=(
+                11 if cfg.get("add_mean_sigma_normalization", False) else None),
             dtype=self.dtype,
             name="blocks")(x, train=train)
 

@@ -66,6 +66,10 @@ class UnetBackbone(nn.Module):
                 use_gate=cfg.get("add_gates", False),
                 dropout_rate=max(0.0, dropout_rate) if dropout_rate != -1 else 0.0,
                 use_multiplier=cfg.get("add_learnable_multiplier", False),
+                # reference backbone_unet.py:183 pool_size (11, 11)
+                mean_sigma_pool=(
+                    11 if cfg.get("add_mean_sigma_normalization", False)
+                    else None),
                 dtype=self.dtype, name=name)
 
         def bn(name):

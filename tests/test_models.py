@@ -117,3 +117,29 @@ def test_scale_equivariance_bias_free():
     y1 = np.asarray(m.apply(vs, x)[0])
     y2 = np.asarray(m.apply(vs, 3.0 * x)[0])
     np.testing.assert_allclose(3.0 * y1, y2, rtol=1e-4, atol=1e-4)
+
+
+def test_mean_sigma_normalization_changes_output():
+    """add_mean_sigma_normalization must actually alter the computation —
+    it local-mean/sigma-normalizes each block's residual-branch input.
+    (The reference snapshot parses this option but never applies it,
+    backbone_blocks.py:127; we implement the documented intent.)"""
+    base = {"backbone": {
+        "type": "resnet", "input_shape": ["?", "?", 3], "filters": 4,
+        "no_layers": 2, "kernel_size": 3, "block_kernels": [3],
+        "block_filters": [4], "activation": "relu", "batchnorm": False,
+        "value_range": [0, 255], "kernel_regularizer": "l1",
+        "kernel_initializer": "glorot_normal"},
+        "denoiser": {"use_bias": False, "output_channels": 3}}
+    with_ms = copy.deepcopy(base)
+    with_ms["backbone"]["add_mean_sigma_normalization"] = True
+
+    x = jnp.asarray(np.random.default_rng(0)
+                    .uniform(0, 255, (1, 32, 32, 3)).astype(np.float32))
+    outs = []
+    for cfg in (base, with_ms):
+        hydra = model_builder(cfg).hydra
+        vs = hydra.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        outs.append(np.asarray(hydra.apply(vs, x, train=False)[0]))
+    assert outs[0].shape == outs[1].shape
+    assert not np.allclose(outs[0], outs[1])

@@ -57,9 +57,14 @@ def test_receptive_field_margin_monotone():
         < receptive_field_margin(3)
 
 
-def test_dp_train_step_matches_single_device():
+@pytest.mark.parametrize("use_bn", [False, True])
+def test_dp_train_step_matches_single_device(use_bn):
     """The same train step on a 1-device and an 8-device mesh must produce
-    identical parameters (GSPMD DP is numerically the same computation)."""
+    identical parameters (GSPMD DP is numerically the same computation).
+
+    The use_bn=True variant verifies the parallel/mesh.py claim that BN
+    batch statistics are computed over the GLOBAL batch under DP — a
+    per-shard-stats regression would change batch_stats and params here."""
     from blind_image_denoising_tpu.models.hydra import model_builder
     from blind_image_denoising_tpu.training.losses import loss_function_builder
     from blind_image_denoising_tpu.training.optimizer import optimizer_builder
@@ -68,8 +73,8 @@ def test_dp_train_step_matches_single_device():
 
     cfg = {"backbone": {
         "type": "resnet", "input_shape": ["?", "?", 3], "filters": 4,
-        "no_layers": 1, "kernel_size": 3, "block_kernels": [3],
-        "block_filters": [4], "activation": "relu", "batchnorm": False,
+        "no_layers": 1, "kernel_size": 3, "block_kernels": [3, 3],
+        "block_filters": [4, 4], "activation": "relu", "batchnorm": use_bn,
         "value_range": [0, 255], "kernel_regularizer": "l1",
         "kernel_initializer": "glorot_normal"},
         "denoiser": {"use_bias": False, "output_channels": 3}}
@@ -109,6 +114,13 @@ def test_dp_train_step_matches_single_device():
     for a, b in zip(l1, l8):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+    if use_bn:
+        bs1 = jax.tree_util.tree_leaves(s1.batch_stats)
+        bs8 = jax.tree_util.tree_leaves(s8.batch_stats)
+        assert bs1 and len(bs1) == len(bs8)
+        for a, b in zip(bs1, bs8):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
 
 
 def test_graft_entry_dryrun():
