@@ -1,8 +1,9 @@
 """Config-driven training dataset.
 
 Equivalent of reference dataset.py:40-305, re-split for TPU: the host does
-discovery → decode → random crops → shuffle → batch → threaded prefetch and
-yields CLEAN float32 [B, H, W, C] batches in [0, 255]; geometric flips and
+discovery → round-robin multi-dataset merge → decode → random crops →
+shuffle → batch → threaded prefetch and yields CLEAN float32 [B, H, W, C]
+batches in [0, 255]; geometric flips and
 noise corruption run fused on-device inside the jitted train step
 (training/train_step.py), keyed per sample — preserving the reference's
 independent-noise-per-sample property (dataset.py:161-238, README claim #8).
@@ -21,7 +22,7 @@ from typing import Dict, Iterator, List, Optional, Sequence
 import numpy as np
 
 from ..logger import logger
-from .file_operations import image_filenames, load_image
+from .file_operations import image_filenames, load_image, merge_iterators
 
 DatasetResults = namedtuple(
     "DatasetResults",
@@ -62,19 +63,29 @@ def random_crops(image: np.ndarray, crop_size, no_crops: int,
 
 class _EpochIterable:
     """One pass over all files per iteration, reshuffled each epoch and
-    decoded by a thread pool with bounded prefetch."""
+    decoded by a thread pool with bounded prefetch.
+
+    ``files`` may be a list of paths or a list of per-dataset path lists;
+    multiple datasets are merged ROUND-ROBIN each epoch (each shuffled
+    independently, then interleaved 1:1 until exhaustion) — the reference's
+    multi-input mixing semantics (file_operations.py:21-96): small datasets
+    are oversampled relative to their size early in the epoch rather than
+    drowned by large ones."""
 
     # small datasets get their decoded images cached in RAM — re-decoding
     # the same files every epoch would leave the TPU idle
     CACHE_LIMIT_BYTES = 2 << 30
 
-    def __init__(self, files: List[str], batch_size: int, crop_size,
+    def __init__(self, files: Sequence, batch_size: int, crop_size,
                  no_crops_per_image: int, num_channels: int,
                  seed: int = 0, num_workers: int = 8,
                  prefetch_batches: int = 4,
                  min_crop_std: float = 0.0,
                  repeat: bool = False):
-        self._files = files
+        if files and isinstance(files[0], (list, tuple)):
+            self._file_groups = [list(g) for g in files if g]
+        else:
+            self._file_groups = [list(files)] if files else []
         self._batch_size = batch_size
         self._crop_size = crop_size
         self._no_crops = no_crops_per_image
@@ -89,11 +100,19 @@ class _EpochIterable:
         self._cache_bytes = 0
         self._cache_full = False
 
+    def _epoch_order(self, rng: random.Random) -> List[str]:
+        """Shuffle each dataset independently, then round-robin merge."""
+        groups = [list(g) for g in self._file_groups]
+        for g in groups:
+            rng.shuffle(g)
+        if len(groups) == 1:
+            return groups[0]
+        return list(merge_iterators(*groups))
+
     def __iter__(self) -> Iterator[np.ndarray]:
         self._epoch += 1
         rng = random.Random(self._seed + self._epoch)
-        files = list(self._files)
-        rng.shuffle(files)
+        files = self._epoch_order(rng)
 
         out_q: "queue.Queue" = queue.Queue(
             maxsize=self._prefetch * self._batch_size + self._batch_size)
@@ -109,10 +128,9 @@ class _EpochIterable:
                 path = next(state["it"], None)
                 if path is None and self._repeat:
                     state["round"] += 1
-                    reshuffled = list(files)
-                    random.Random((self._seed, self._epoch,
-                                   state["round"]).__hash__()).shuffle(reshuffled)
-                    state["it"] = iter(reshuffled)
+                    round_rng = random.Random(
+                        (self._seed, self._epoch, state["round"]).__hash__())
+                    state["it"] = iter(self._epoch_order(round_rng))
                     path = next(state["it"], None)
                 return path
 
@@ -222,15 +240,16 @@ def dataset_builder(config: Dict) -> DatasetResults:
     crop_size = (input_shape[0], input_shape[1])
 
     directories = [i["directory"] for i in config.get("inputs", [])]
-    files: List[str] = []
+    file_groups: List[List[str]] = []
     for d in directories:
         found = image_filenames(d)
         logger.info(f"dataset dir [{d}]: {len(found)} images")
-        files.extend(found)
+        if found:
+            file_groups.append(found)
 
-    if files:
+    if file_groups:
         training = _EpochIterable(
-            files, batch_size=batch_size, crop_size=crop_size,
+            file_groups, batch_size=batch_size, crop_size=crop_size,
             no_crops_per_image=no_crops, num_channels=num_channels,
             min_crop_std=float(config.get("min_crop_std", 0.0)),
             repeat=bool(config.get("repeat", False)))

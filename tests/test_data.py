@@ -98,3 +98,44 @@ def test_dataset_repeat_mode_streams_continuously(image_dir):
     # looping the file list ~6 times
     batches = [next(it) for _ in range(10)]
     assert all(b.shape == (4, 16, 16, 3) for b in batches)
+
+
+def test_two_dataset_round_robin_mixing(tmp_path):
+    """Multi-input configs interleave datasets 1:1 per epoch regardless of
+    size (reference file_operations.py:21-96 semantics), so a small dataset
+    is not drowned by a large one."""
+    from PIL import Image
+    from blind_image_denoising_tpu.data.dataset import (
+        _EpochIterable, dataset_builder)
+
+    dirs = []
+    for name, n, level in (("small", 3, 10), ("large", 9, 200)):
+        d = tmp_path / name
+        d.mkdir()
+        for i in range(n):
+            Image.fromarray(
+                np.full((40, 40, 3), level + i, np.uint8)).save(d / f"{i}.png")
+        dirs.append(d)
+
+    groups = [image_filenames(str(d)) for d in dirs]
+    it = _EpochIterable(groups, batch_size=2, crop_size=(16, 16),
+                        no_crops_per_image=1, num_channels=3)
+    import random as _random
+    order = it._epoch_order(_random.Random(0))
+    # one pass covers every file exactly once
+    assert sorted(order) == sorted(groups[0] + groups[1])
+    # while both datasets are alive the stream alternates 1:1
+    head = order[: 2 * len(groups[0])]
+    from_small = [p for p in head if "/small/" in p]
+    assert len(from_small) == len(groups[0])
+    assert [("small" if "/small/" in p else "large") for p in head] == \
+        ["small", "large"] * len(groups[0])
+
+    # end-to-end: the built pipeline decodes from both directories
+    cfg = {"batch_size": 4, "input_shape": [16, 16, 3],
+           "inputs": [{"directory": str(d)} for d in dirs]}
+    res = dataset_builder(cfg)
+    batches = list(res.training)
+    assert batches and all(b.shape == (4, 16, 16, 3) for b in batches)
+    seen = np.concatenate([b.reshape(-1) for b in batches])
+    assert (seen < 50).any() and (seen > 150).any()
