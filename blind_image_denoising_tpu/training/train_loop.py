@@ -120,6 +120,14 @@ def train_loop(
 
     grad_accum = max(1, int(train_config.get("gpu_batches_per_step", 1)))
 
+    visualization_every = train_config.get("visualization_every", 1000)
+    # per-kernel gradient five-number summaries for boxplot figures
+    # (reference train_loop.py:532-541); on whenever visualization is on,
+    # force off with train.grad_stats=false if the per-step percentile
+    # sorts matter
+    grad_stats = bool(train_config.get("grad_stats",
+                                       visualization_every > 0))
+
     train_step = build_train_step(
         hydra, tx, loss_fns,
         no_outputs=no_outputs,
@@ -130,7 +138,8 @@ def train_loop(
         round_values=dataset_config.get("round_values", True),
         grad_accum=grad_accum,
         remat=train_config.get("remat", False),
-        use_pallas_noise=tpu_config.get("pallas_noise", False))
+        use_pallas_noise=tpu_config.get("pallas_noise", False),
+        grad_stats=grad_stats)
     train_step = shard_train_step(train_step, mesh)
     eval_step = jax.jit(build_eval_step(hydra))
 
@@ -153,11 +162,11 @@ def train_loop(
     if total_steps_override is not None:
         total_steps = total_steps_override
     checkpoint_every = train_config.get("checkpoint_every", -1)
-    visualization_every = train_config.get("visualization_every", 1000)
     log_every = max(1, int(train_config.get("log_every", 1)))
 
     key = jax.random.PRNGKey(int(state.step) + 1)
     finished = False
+    last_grad_stats = None
     t_last, steps_last = time.time(), int(state.step)
     repeat_stream = bool(dataset_config.get("repeat", False))
     _last_progress = {"step": int(state.step)}
@@ -239,8 +248,10 @@ def train_loop(
             # trip each (~10-50 ms over the TPU tunnel — it dominated step
             # time before this batching)
             if step % log_every == 0:
-                scalars = {k: float(v) for k, v in
-                           jax.device_get(metrics).items()}
+                host_metrics = jax.device_get(metrics)
+                last_grad_stats = host_metrics.pop("grad_stats",
+                                                   last_grad_stats)
+                scalars = {k: float(v) for k, v in host_metrics.items()}
                 scalars["learning_rate"] = float(
                     np.asarray(lr_schedule(step)))
                 scalars["epoch"] = epoch
@@ -264,6 +275,7 @@ def train_loop(
                 _noise_sweep_eval(eval_step, state, eval_batch, writer, step)
                 _weight_stats(state, writer, step)
                 _weight_figures(state, writer, step)
+                _gradient_figures(last_grad_stats, writer, step)
 
             if checkpoint_every > 0 and step % checkpoint_every == 0:
                 manager.save(state, force=True)
@@ -325,6 +337,22 @@ def _weight_figures(state: TrainState, writer: MetricsWriter, step: int):
     fig = weights_heatmap(state.params)
     if fig is not None:
         writer.figure(step, "weights/heatmap", fig)
+
+
+def _gradient_figures(grad_stats, writer: MetricsWriter, step: int):
+    """Gradient boxplot figure + per-tensor median scalars from the
+    five-number summaries the jitted step emitted (reference
+    train_loop.py:532-541, visualize.py:96-163 — there the raw gradients
+    are host-side; here only the summaries leave the device)."""
+    if not grad_stats:
+        return
+    from ..visualize import boxplot_from_stats
+    fig = boxplot_from_stats(grad_stats, title="gradients")
+    if fig is not None:
+        writer.figure(step, "gradients/boxplot", fig)
+    writer.scalars(step, {
+        f"gradients/{path}/p50": float(np.asarray(q)[2])
+        for path, q in grad_stats.items()})
 
 
 def _weight_stats(state: TrainState, writer: MetricsWriter, step: int):

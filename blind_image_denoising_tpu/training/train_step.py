@@ -44,12 +44,18 @@ def build_train_step(
         round_values: bool = True,
         grad_accum: int = 1,
         remat: bool = False,
-        use_pallas_noise: bool = False):
+        use_pallas_noise: bool = False,
+        grad_stats: bool = False):
     """Returns ``train_step(state, batch, rng, depth_weights) ->
     (new_state, metrics)``.
 
     ``batch``: clean float32 [grad_accum·B, H, W, C] in [0, 255].
     ``depth_weights``: [no_outputs] deep-supervision weights.
+
+    ``grad_stats``: also return per-kernel gradient five-number summaries
+    (min/p25/p50/p75/max) under ``metrics["grad_stats"]`` for gradient
+    boxplot figures (reference train_loop.py:532-541). Off by default —
+    the percentiles cost a sort per tensor per step.
     """
     denoiser_loss = loss_fns["denoiser"]
     model_loss = loss_fns["model"]
@@ -164,6 +170,13 @@ def build_train_step(
             opt_state=opt_state)
 
         metrics["grad_norm"] = optax.global_norm(grads)
+        if grad_stats:
+            import flax
+            qs = jnp.asarray([0.0, 25.0, 50.0, 75.0, 100.0], jnp.float32)
+            flat = flax.traverse_util.flatten_dict(grads, sep="/")
+            metrics["grad_stats"] = {
+                path: jnp.percentile(g.astype(jnp.float32).ravel(), qs)
+                for path, g in flat.items() if g.ndim in (2, 4)}
         return new_state, metrics
 
     return train_step

@@ -96,3 +96,29 @@ def weights_heatmap(params, bins: int = 51, value_range=(-0.5, 0.5)):
     ax.set_title("per-layer weight histograms")
     fig.tight_layout()
     return fig
+
+
+def boxplot_from_stats(stats: Dict[str, np.ndarray],
+                       title: str = "gradients", max_entries: int = 40):
+    """Boxplot figure from precomputed five-number summaries
+    ``{name: [min, p25, p50, p75, max]}`` — used for gradient boxplots
+    (reference visualize.py:96-163) where the raw gradients never leave the
+    jitted step; only the summaries do (training/train_step.py grad_stats).
+    """
+    plt = _mpl()
+    if plt is None or not stats:
+        return None
+    names = list(stats)[:max_entries]
+    boxes = []
+    for n in names:
+        lo, q1, med, q3, hi = [float(v) for v in np.asarray(stats[n])]
+        boxes.append(dict(label=n.split("/")[-2] if "/" in n else n,
+                          whislo=lo, q1=q1, med=med, q3=q3, whishi=hi,
+                          fliers=[]))
+    fig, ax = plt.subplots(figsize=(max(6, len(names) * 0.4), 6))
+    ax.bxp(boxes, showfliers=False)
+    ax.tick_params(axis="x", rotation=90, labelsize=6)
+    ax.set_title(title)
+    ax.grid(True, alpha=0.3)
+    fig.tight_layout()
+    return fig

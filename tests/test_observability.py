@@ -50,3 +50,83 @@ def test_weight_figures():
     hm = weights_heatmap(params)
     # matplotlib may be absent; both None is acceptable then
     assert (fig is None) == (hm is None)
+
+
+def test_grad_stats_metrics_and_boxplot():
+    """grad_stats=True emits per-kernel five-number summaries from the
+    jitted step, renderable as a gradient boxplot figure (reference
+    train_loop.py:532-541 parity)."""
+    import jax
+    import jax.numpy as jnp
+    from blind_image_denoising_tpu.models.hydra import model_builder
+    from blind_image_denoising_tpu.training.losses import loss_function_builder
+    from blind_image_denoising_tpu.training.optimizer import optimizer_builder
+    from blind_image_denoising_tpu.training.train_state import create_train_state
+    from blind_image_denoising_tpu.training.train_step import build_train_step
+    from blind_image_denoising_tpu.visualize import boxplot_from_stats
+
+    cfg = {"backbone": {
+        "type": "resnet", "input_shape": ["?", "?", 3], "filters": 4,
+        "no_layers": 1, "kernel_size": 3, "block_kernels": [3],
+        "block_filters": [4], "activation": "relu", "batchnorm": False,
+        "value_range": [0, 255], "kernel_regularizer": "l1",
+        "kernel_initializer": "glorot_normal"},
+        "denoiser": {"use_bias": False, "output_channels": 3}}
+    loss_fns = loss_function_builder({"hinge": 0.0, "mae_multiplier": 1.0,
+                                      "ssim_multiplier": -1.0})
+    tx, _ = optimizer_builder({
+        "type": "ADAM", "schedule": {"type": "cosine_decay", "config": {
+            "learning_rate": 0.01, "decay_steps": 100}}})
+    hydra = model_builder(cfg).hydra
+    sample = jnp.zeros((2, 16, 16, 3))
+    state = create_train_state(hydra, tx, jax.random.PRNGKey(0), sample)
+    step_fn = jax.jit(build_train_step(
+        hydra, tx, loss_fns, no_outputs=1, additive_noise=[5, 10],
+        grad_accum=2, grad_stats=True))
+    batch = jnp.asarray(np.random.default_rng(0)
+                        .uniform(0, 255, (4, 16, 16, 3)).astype(np.float32))
+    _, metrics = step_fn(state, batch, jax.random.PRNGKey(1),
+                         jnp.ones((1,), jnp.float32))
+    stats = jax.device_get(metrics["grad_stats"])
+    assert stats, "no kernel gradients summarized"
+    for path, q in stats.items():
+        q = np.asarray(q)
+        assert q.shape == (5,)
+        assert np.all(np.diff(q) >= -1e-7), f"{path} quartiles not sorted"
+    fig = boxplot_from_stats(stats)
+    if fig is not None:  # matplotlib present
+        import matplotlib.pyplot as plt
+        plt.close(fig)
+
+
+def test_gradient_figures_logged_in_train_loop(tmp_path):
+    """A demo train run with visualization on writes gradients/... scalars
+    to metrics.jsonl (figure goes to TB when available)."""
+    import json
+    from blind_image_denoising_tpu.training.train_loop import train_loop
+
+    cfg = {
+        "model": {"backbone": {
+            "type": "resnet", "input_shape": ["?", "?", 3], "filters": 4,
+            "no_layers": 1, "kernel_size": 3, "block_kernels": [3],
+            "block_filters": [4], "activation": "relu", "batchnorm": False,
+            "value_range": [0, 255], "kernel_regularizer": "l1",
+            "kernel_initializer": "glorot_normal"},
+            "denoiser": {"use_bias": False, "output_channels": 3}},
+        "train": {"epochs": 1, "total_steps": 2, "checkpoint_every": -1,
+                  "visualization_every": 2, "use_test_images": True,
+                  "optimizer": {"type": "adam", "schedule": {
+                      "type": "cosine_decay", "config": {
+                          "learning_rate": 0.001, "decay_steps": 100}}}},
+        "loss": {"hinge": 0.0, "mae_multiplier": 1.0, "ssim_multiplier": -1.0},
+        "dataset": {"batch_size": 2, "input_shape": [16, 16, 3],
+                    "additional_noise": [1, 10], "inputs": []},
+    }
+    train_loop(cfg, tmp_path / "ckpt")
+    lines = [json.loads(l) for l in
+             (tmp_path / "ckpt" / "metrics.jsonl").read_text().splitlines()]
+    keys = set()
+    for rec in lines:
+        keys.update(rec)
+    assert any(k.startswith("gradients/") and k.endswith("/p50")
+               for k in keys), sorted(keys)
