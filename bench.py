@@ -15,7 +15,12 @@ import time
 import numpy as np
 
 
-BASELINE_IMAGES_PER_SEC = 4.0  # TF 2.13 CPU, unet_laplacian_v6 @256², approx
+# MEASURED on this machine (2026-08-16): the reference's own model_builder
+# (unet_laplacian_v6.json) under TF 2.21 + tf_keras legacy, CPU, tf.function
+# graph, batch 8 @256²: 2.69 img/s (2979 ms/batch). With jit_compile=True
+# (XLA-CPU, what the reference's DenoiserModule uses) it is far slower:
+# 0.37 img/s. We quote the faster plain-graph number as the baseline.
+BASELINE_IMAGES_PER_SEC = 2.69
 
 
 def main():

@@ -22,7 +22,8 @@ from typing import Dict, Iterator, List, Optional, Sequence
 import numpy as np
 
 from ..logger import logger
-from .file_operations import image_filenames, load_image, merge_iterators
+from .file_operations import (
+    image_filenames, load_image, merge_iterators, shard_files_for_process)
 
 DatasetResults = namedtuple(
     "DatasetResults",
@@ -31,7 +32,8 @@ DatasetResults = namedtuple(
 
 def random_crops(image: np.ndarray, crop_size, no_crops: int,
                  rng: random.Random,
-                 min_crop_std: float = 0.0) -> List[np.ndarray]:
+                 min_crop_std: float = 0.0,
+                 scale_range=None) -> List[np.ndarray]:
     """``no_crops`` random HxW crops (reference utilities.py:466-561 uses
     crop_and_resize with random boxes; plain random windows are equivalent
     for same-size crops). Images smaller than the crop are edge-padded.
@@ -39,7 +41,14 @@ def random_crops(image: np.ndarray, crop_size, no_crops: int,
     ``min_crop_std`` > 0 rejects near-constant crops (sky, borders): they
     carry no denoising signal and their vanishing variance explodes the
     gradients of bias-free normalization layers. A few re-draws are
-    attempted before accepting whatever comes."""
+    attempted before accepting whatever comes.
+
+    ``scale_range=(lo, hi)`` enables scale-jittered crops: each crop
+    samples a window of crop_size·s (s ~ U[lo, hi], clamped to the image)
+    and bilinearly resizes it to crop_size — the capability the
+    reference's crop_and_resize boxes allow via x_range/y_range
+    (utilities.py:505-511; its dataset pipeline leaves them at the
+    fixed-size defaults)."""
     ch, cw = int(crop_size[0]), int(crop_size[1])
     h, w = image.shape[:2]
     if h < ch or w < cw:
@@ -48,17 +57,37 @@ def random_crops(image: np.ndarray, crop_size, no_crops: int,
         # thumbnails vs large crops)
         image = np.pad(image, ((0, pad_h), (0, pad_w), (0, 0)), mode="edge")
         h, w = image.shape[:2]
+    use_scale = (scale_range is not None
+                 and (scale_range[0] != 1.0 or scale_range[1] != 1.0))
     crops = []
     for _ in range(no_crops):
         crop = None
         for _attempt in range(4 if min_crop_std > 0 else 1):
-            y = rng.randint(0, h - ch)
-            x = rng.randint(0, w - cw)
-            crop = image[y:y + ch, x:x + cw]
+            if use_scale:
+                s = rng.uniform(float(scale_range[0]), float(scale_range[1]))
+                wh = min(h, max(1, int(round(ch * s))))
+                ww = min(w, max(1, int(round(cw * s))))
+            else:
+                wh, ww = ch, cw
+            y = rng.randint(0, h - wh)
+            x = rng.randint(0, w - ww)
+            crop = image[y:y + wh, x:x + ww]
+            if (wh, ww) != (ch, cw):
+                crop = _resize_bilinear(crop, ch, cw)
             if min_crop_std <= 0 or crop.std() >= min_crop_std:
                 break
         crops.append(crop)
     return crops
+
+
+def _resize_bilinear(image: np.ndarray, th: int, tw: int) -> np.ndarray:
+    """Bilinear HWC resize via PIL, preserving float range."""
+    from PIL import Image
+    chans = [np.asarray(
+        Image.fromarray(image[:, :, c].astype(np.float32), mode="F")
+        .resize((tw, th), Image.BILINEAR))
+        for c in range(image.shape[2])]
+    return np.stack(chans, axis=-1).astype(image.dtype)
 
 
 class _EpochIterable:
@@ -81,7 +110,8 @@ class _EpochIterable:
                  seed: int = 0, num_workers: int = 8,
                  prefetch_batches: int = 4,
                  min_crop_std: float = 0.0,
-                 repeat: bool = False):
+                 repeat: bool = False,
+                 scale_range=None):
         if files and isinstance(files[0], (list, tuple)):
             self._file_groups = [list(g) for g in files if g]
         else:
@@ -96,6 +126,7 @@ class _EpochIterable:
         self._prefetch = prefetch_batches
         self._min_crop_std = min_crop_std
         self._repeat = repeat
+        self._scale_range = scale_range
         self._cache: dict = {}
         self._cache_bytes = 0
         self._cache_full = False
@@ -154,7 +185,8 @@ class _EpochIterable:
                                     self._cache_full = True
                         crops = random_crops(img, self._crop_size,
                                              self._no_crops, wrng,
-                                             min_crop_std=self._min_crop_std)
+                                             min_crop_std=self._min_crop_std,
+                                             scale_range=self._scale_range)
                     except Exception as e:  # corrupt/undersized file: skip
                         logger.warning(f"skipping [{path}]: {e}")
                         continue
@@ -247,12 +279,34 @@ def dataset_builder(config: Dict) -> DatasetResults:
         if found:
             file_groups.append(found)
 
+    # multi-host (DCN multi-slice) training: each process decodes a
+    # disjoint per-dataset file shard. Config keys override for tests /
+    # manual launches; defaults come from the JAX distributed runtime.
+    proc_count = config.get("process_count")
+    proc_index = config.get("process_index")
+    if proc_count is None or proc_index is None:
+        try:
+            import jax
+            proc_count = jax.process_count() if proc_count is None \
+                else proc_count
+            proc_index = jax.process_index() if proc_index is None \
+                else proc_index
+        except Exception:
+            proc_count, proc_index = 1, 0
+    if int(proc_count) > 1:
+        file_groups = shard_files_for_process(
+            file_groups, int(proc_index), int(proc_count))
+        logger.info(f"process {proc_index}/{proc_count}: "
+                    f"{sum(len(g) for g in file_groups)} files after "
+                    f"host sharding")
+
     if file_groups:
         training = _EpochIterable(
             file_groups, batch_size=batch_size, crop_size=crop_size,
             no_crops_per_image=no_crops, num_channels=num_channels,
             min_crop_std=float(config.get("min_crop_std", 0.0)),
-            repeat=bool(config.get("repeat", False)))
+            repeat=bool(config.get("repeat", False)),
+            scale_range=config.get("crop_scale_range"))
     else:
         logger.warning("no dataset images found; using synthetic stream")
         training = SyntheticDataset(batch_size, crop_size, num_channels)

@@ -94,3 +94,21 @@ def load_image(
     if expand_dims:
         x = x[None, ...]
     return x
+
+
+def shard_files_for_process(file_groups, process_index: int,
+                            process_count: int):
+    """Disjoint per-host file sharding for multi-host (DCN multi-slice)
+    training: each dataset's listing is dealt round-robin by index so every
+    host sees ~1/process_count of EVERY dataset — replacing the reference's
+    single-host generator (file_operations.py:37-82) with a layout where
+    hosts never decode the same file.
+
+    Applied per dataset (before the cross-dataset round-robin merge) so the
+    1:1 multi-dataset mixing is preserved on every host."""
+    if process_count <= 1:
+        return [list(g) for g in file_groups]
+    if not 0 <= process_index < process_count:
+        raise ValueError(
+            f"process_index {process_index} not in [0, {process_count})")
+    return [list(g[process_index::process_count]) for g in file_groups]

@@ -14,8 +14,11 @@ TPU design notes:
   dependency structure is statically a chain — node (d,1) depends on
   (d,0) and (d+1,1) — so here the decoder is a plain reversed loop; the
   whole network traces to one static XLA graph.
-* The Laplacian band-split is an avg-pool + subtract — XLA fuses it with
-  the surrounding convs; no extra HBM round-trips.
+* The Laplacian band-split is an avg-pool + subtract. On TPU backends it
+  runs as the fused Pallas kernel ops/pallas_pyramid.laplacian_band_smooth
+  (one VMEM pass, custom-VJP for training; gated by the backbone's
+  use_pallas_pyramid key, default auto); elsewhere XLA fuses the plain
+  composition with the surrounding convs.
 * Every scale's output is a separate array so the multi-head hydra and
   per-scale deep supervision shard naturally over a data-parallel mesh.
 """
@@ -35,6 +38,7 @@ from ..layers.misc import GaussianFilter
 from ..layers.multipliers import ChannelLearnableMultiplier
 from ..layers.sampling import Downsample, Upsample
 from ..layers.stochastic import StochasticDepth
+from ..ops.pallas_pyramid import laplacian_band_smooth, on_tpu
 from ..ops.resize import avg_pool_same
 
 
@@ -84,6 +88,11 @@ class UnetLaplacianBackbone(nn.Module):
         csa_dropout = float(cfg.get(
             "convolutional_self_attention_dropout_rate", 0.0))
         multiple_scale_outputs = cfg.get("multiple_scale_outputs", True)
+        # "auto" (default): fused Pallas band-split kernel whenever running
+        # on a TPU backend; true/false force it. XLA fallback elsewhere.
+        pallas_pyramid = cfg.get("use_pallas_pyramid", "auto")
+        use_pallas = (on_tpu() if pallas_pyramid == "auto"
+                      else bool(pallas_pyramid))
         if soft_orthogonal and soft_orthonormal:
             raise ValueError("soft orthogonal and orthonormal regularization "
                              "are mutually exclusive")
@@ -196,13 +205,22 @@ class UnetLaplacianBackbone(nn.Module):
             if d != depth - 1:
                 if use_laplacian or use_laplacian_averaging:
                     if use_laplacian_averaging:
-                        smooth = avg_pool_same(
-                            x, (gaussian_kernel, gaussian_kernel), (1, 1))
+                        if use_pallas:
+                            # fused Mosaic kernel: pool + subtract in one
+                            # VMEM pass; custom-VJP so the train step
+                            # differentiates through it (ops/pallas_pyramid.py)
+                            band, smooth = laplacian_band_smooth(
+                                x, gaussian_kernel)
+                        else:
+                            smooth = avg_pool_same(
+                                x, (gaussian_kernel, gaussian_kernel), (1, 1))
+                            band = x - smooth
                     else:
                         smooth = GaussianFilter(
                             kernel_size=(gaussian_kernel, gaussian_kernel),
                             name=f"encoder_{d}_gauss")(x)
-                    skips[d] = x - smooth   # high-frequency band → skip
+                        band = x - smooth
+                    skips[d] = band         # high-frequency band → skip
                     x = smooth              # low-frequency band → down
                 x = Downsample(downsample_type, down_p[d], dtype=self.dtype,
                                name=f"down_{d}")(x, train=train)

@@ -23,25 +23,45 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def create_mesh(data: int = -1, spatial: int = 1,
+def create_mesh(data: int = -1, spatial: int = 1, dcn: int = 1,
                 devices: Optional[Sequence] = None) -> Mesh:
-    """Create a ('data', 'spatial') mesh. ``data=-1`` → all remaining
-    devices."""
+    """Create a ('data', 'spatial') mesh — or ('dcn', 'data', 'spatial')
+    when ``dcn > 1`` for multi-slice training.
+
+    ``data=-1`` → all remaining devices. The 'dcn' axis is outermost so
+    slice-local collectives (the heavy per-step gradient reduce over
+    'data') ride ICI, and only the slice-level combine crosses the
+    data-center network. On real multi-slice hardware pass the
+    process-ordered device list from ``jax.devices()`` — JAX orders it
+    slice-major, which is exactly the layout the outermost-axis reshape
+    assumes; on the virtual CPU mesh any ordering works for testing."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
+    dcn = max(1, int(dcn))
     if data == -1:
-        if n % spatial != 0:
-            raise ValueError(f"{n} devices not divisible by spatial={spatial}")
-        data = n // spatial
-    if data * spatial > n:
-        raise ValueError(f"mesh {data}x{spatial} needs more than {n} devices")
+        if n % (spatial * dcn) != 0:
+            raise ValueError(
+                f"{n} devices not divisible by spatial={spatial} x dcn={dcn}")
+        data = n // (spatial * dcn)
+    if dcn * data * spatial > n:
+        raise ValueError(
+            f"mesh {dcn}x{data}x{spatial} needs more than {n} devices")
+    if dcn > 1:
+        grid = np.array(devices[: dcn * data * spatial]).reshape(
+            dcn, data, spatial)
+        return Mesh(grid, axis_names=("dcn", "data", "spatial"))
     grid = np.array(devices[: data * spatial]).reshape(data, spatial)
     return Mesh(grid, axis_names=("data", "spatial"))
 
 
+def batch_axes(mesh: Mesh):
+    """The mesh axes the batch dimension shards over."""
+    return tuple(a for a in ("dcn", "data") if a in mesh.shape)
+
+
 def data_sharding(mesh: Mesh) -> NamedSharding:
-    """Batch tensors: shard dim 0 over 'data'."""
-    return NamedSharding(mesh, P("data"))
+    """Batch tensors: shard dim 0 over 'data' (and 'dcn' when present)."""
+    return NamedSharding(mesh, P(batch_axes(mesh)))
 
 
 def replicate_sharding(mesh: Mesh) -> NamedSharding:

@@ -55,6 +55,20 @@ class MetricsWriter:
         if self._tb is not None:
             self._tb.add_figure(tag, fig, int(step))
 
+    def histogram(self, step: int, tag: str, values: np.ndarray,
+                  max_samples: int = 100_000):
+        """Value-distribution histogram (reference train_loop.py:462-504
+        error/noise histograms). Full histogram goes to TB; the JSONL
+        record keeps a percentile summary."""
+        flat = np.asarray(values).ravel()
+        if flat.size > max_samples:  # bound TB payload
+            flat = flat[:: flat.size // max_samples + 1]
+        if self._tb is not None:
+            self._tb.add_histogram(tag, flat, int(step))
+        p = np.percentile(flat, [1, 25, 50, 75, 99])
+        self.scalars(step, {f"{tag}/p{q}": float(v)
+                            for q, v in zip((1, 25, 50, 75, 99), p)})
+
     def close(self):
         self._file.close()
         if self._tb is not None:

@@ -310,21 +310,25 @@ def _noise_sweep_eval(eval_step, state: TrainState, eval_batch: jnp.ndarray,
         noisy = corrupt_batch_fixed_std(key, eval_batch, std=std) \
             if std > 0 else eval_batch
         denoised = eval_step(state, noisy)
-        error = np.abs(np.asarray(denoised) - np.asarray(eval_batch))
+        error = np.asarray(denoised) - np.asarray(eval_batch)
         writer.scalars(step, {
             f"eval/mae_noise_{int(std)}": float(mae(eval_batch, denoised)),
             f"eval/psnr_noise_{int(std)}": float(psnr(eval_batch, denoised)),
-            # error-distribution summary (reference error histograms,
-            # train_loop.py:462-504)
-            f"eval/error_p50_noise_{int(std)}": float(np.percentile(error, 50)),
-            f"eval/error_p99_noise_{int(std)}": float(np.percentile(error, 99)),
         })
+        # error / noise distributions (reference train_loop.py:462-504)
+        writer.histogram(step, f"eval/error_noise_{int(std)}", error)
+        if std > 0:
+            writer.histogram(step, f"eval/noise_{int(std)}",
+                             np.asarray(noisy) - np.asarray(eval_batch))
+        # denoised grid at every sweep std (reference multi-std image
+        # grids); noisy + error images once at a representative std
+        writer.images(step, f"eval/denoised_noise_{int(std)}",
+                      np.asarray(denoised))
         if std == EVAL_NOISE_STDS[1]:
-            writer.images(step, "eval/denoised", np.asarray(denoised))
             writer.images(step, "eval/noisy", np.asarray(noisy))
             # per-pixel error image, scaled to visible range
             writer.images(step, "eval/error",
-                          np.clip(error * 4.0, 0, 255))
+                          np.clip(np.abs(error) * 4.0, 0, 255))
 
 
 def _weight_figures(state: TrainState, writer: MetricsWriter, step: int):

@@ -139,3 +139,22 @@ def test_two_dataset_round_robin_mixing(tmp_path):
     assert batches and all(b.shape == (4, 16, 16, 3) for b in batches)
     seen = np.concatenate([b.reshape(-1) for b in batches])
     assert (seen < 50).any() and (seen > 150).any()
+
+
+def test_scaled_random_crops(image_dir):
+    """crop_scale_range resizes jittered windows back to crop_size; output
+    shape is constant and content differs from the unscaled crop."""
+    import random as _random
+    from blind_image_denoising_tpu.data.dataset import random_crops
+
+    img = np.random.default_rng(0).uniform(0, 255, (96, 96, 3)).astype(np.float32)
+    crops = random_crops(img, (32, 32), 8, _random.Random(0),
+                         scale_range=(1.5, 2.0))
+    assert all(c.shape == (32, 32, 3) for c in crops)
+    # a 1.5-2x window resized down cannot equal any raw 32x32 sub-window
+    plain = random_crops(img, (32, 32), 8, _random.Random(0))
+    assert not all(np.array_equal(a, b) for a, b in zip(crops, plain))
+    # identity range short-circuits to raw windows
+    same = random_crops(img, (32, 32), 4, _random.Random(1),
+                        scale_range=(1.0, 1.0))
+    assert all(c.dtype == np.float32 and c.shape == (32, 32, 3) for c in same)

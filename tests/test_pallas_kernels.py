@@ -60,3 +60,39 @@ def test_laplacian_band_split_parity():
         np.testing.assert_allclose(np.asarray(down_p), np.asarray(down_r),
                                    atol=1e-4)
         assert down_p.shape == (2, 16, 8, 3)
+
+
+def test_laplacian_band_smooth_parity():
+    """Full-res band+smooth kernel (the flagship encoder's fused split)
+    matches the XLA composition in interpret mode."""
+    from blind_image_denoising_tpu.ops.pallas_pyramid import (
+        laplacian_band_smooth_pallas, laplacian_band_smooth_reference)
+    x = jnp.asarray(np.random.default_rng(1)
+                    .uniform(0, 255, (2, 32, 16, 3)).astype(np.float32))
+    for k in (2, 3, 5):
+        band_p, smooth_p = laplacian_band_smooth_pallas(x, k, interpret=True)
+        band_r, smooth_r = laplacian_band_smooth_reference(x, k)
+        np.testing.assert_allclose(np.asarray(band_p), np.asarray(band_r),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(smooth_p), np.asarray(smooth_r),
+                                   atol=1e-4)
+        assert smooth_p.shape == x.shape
+
+
+def test_band_smooth_vjp_matches_xla_grad():
+    """The custom VJP of the fused band-split (dx = g_band + Aᵀ(g_smooth −
+    g_band)) must equal jax.grad through the plain-XLA composition — the
+    train step differentiates through the Pallas path on TPU."""
+    from blind_image_denoising_tpu.ops.pallas_pyramid import (
+        _band_smooth_bwd, laplacian_band_smooth_reference)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.uniform(0, 1, (2, 16, 8, 3)).astype(np.float32))
+    for k in (2, 3, 5):
+        g_band = jnp.asarray(rng.normal(size=x.shape).astype(np.float32))
+        g_smooth = jnp.asarray(rng.normal(size=x.shape).astype(np.float32))
+        _, vjp_fn = jax.vjp(
+            lambda v: laplacian_band_smooth_reference(v, k), x)
+        (dx_ref,) = vjp_fn((g_band, g_smooth))
+        (dx_custom,) = _band_smooth_bwd(k, None, (g_band, g_smooth))
+        np.testing.assert_allclose(np.asarray(dx_custom), np.asarray(dx_ref),
+                                   rtol=1e-5, atol=1e-5)

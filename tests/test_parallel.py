@@ -167,3 +167,100 @@ def test_spatial_halo_flagship_unet_laplacian():
         margin=receptive_field_margin(2, 3, 1))
     got = np.asarray(fwd(spatial_shard_image(mesh, x)))
     np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-3)
+
+
+def test_multislice_dcn_mesh_train_step_matches_single_device():
+    """Mesh('dcn','data','spatial') — the multi-slice layout — must produce
+    the same parameters as single-device: the batch shards over
+    ('dcn','data'), GSPMD reduces gradients over ICI then DCN."""
+    from blind_image_denoising_tpu.models.hydra import model_builder
+    from blind_image_denoising_tpu.training.losses import loss_function_builder
+    from blind_image_denoising_tpu.training.optimizer import optimizer_builder
+    from blind_image_denoising_tpu.training.train_state import create_train_state
+    from blind_image_denoising_tpu.training.train_step import build_train_step
+
+    cfg = {"backbone": {
+        "type": "resnet", "input_shape": ["?", "?", 3], "filters": 4,
+        "no_layers": 1, "kernel_size": 3, "block_kernels": [3],
+        "block_filters": [4], "activation": "relu", "batchnorm": False,
+        "value_range": [0, 255], "kernel_regularizer": "l1",
+        "kernel_initializer": "glorot_normal"},
+        "denoiser": {"use_bias": False, "output_channels": 3}}
+    loss_fns = loss_function_builder(
+        {"hinge": 0.0, "mae_multiplier": 1.0, "ssim_multiplier": -1.0})
+    tx, _ = optimizer_builder({
+        "type": "ADAM", "schedule": {"type": "cosine_decay", "config": {
+            "learning_rate": 0.01, "decay_steps": 1000}}})
+
+    hydra = model_builder(cfg).hydra
+    sample = jnp.zeros((8, 16, 16, 3))
+    state = create_train_state(hydra, tx, jax.random.PRNGKey(0), sample)
+    step = build_train_step(hydra, tx, loss_fns, no_outputs=1,
+                            additive_noise=[5, 10], grad_accum=1)
+    batch = jnp.asarray(np.random.default_rng(2)
+                        .uniform(0, 255, (8, 16, 16, 3)).astype(np.float32))
+    rng = jax.random.PRNGKey(3)
+    dw = jnp.ones((1,), jnp.float32)
+
+    s1, m1 = jax.jit(step)(state, batch, rng, dw)
+
+    mesh = create_mesh(dcn=2, data=2, spatial=2)
+    assert mesh.shape == {"dcn": 2, "data": 2, "spatial": 2}
+    sharded = shard_train_step(step, mesh)
+    s8, m8 = sharded(
+        jax.device_put(state, replicate_sharding(mesh)),
+        shard_batch(mesh, batch),
+        jax.device_put(rng, replicate_sharding(mesh)),
+        jax.device_put(dw, replicate_sharding(mesh)))
+    assert float(m1["total_loss"]) == pytest.approx(
+        float(m8["total_loss"]), rel=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_host_sharded_file_lists():
+    """Per-process shards are disjoint, cover everything, and preserve the
+    per-dataset structure (so round-robin mixing survives on every host)."""
+    from blind_image_denoising_tpu.data.file_operations import (
+        shard_files_for_process)
+
+    groups = [[f"a{i}" for i in range(7)], [f"b{i}" for i in range(3)]]
+    shards = [shard_files_for_process(groups, p, 2) for p in range(2)]
+    for g_idx in range(2):
+        combined = sorted(shards[0][g_idx] + shards[1][g_idx])
+        assert combined == sorted(groups[g_idx])
+        assert not set(shards[0][g_idx]) & set(shards[1][g_idx])
+    # identity when single-process
+    assert shard_files_for_process(groups, 0, 1) == groups
+    with pytest.raises(ValueError):
+        shard_files_for_process(groups, 2, 2)
+
+
+def test_dataset_builder_process_sharding(tmp_path):
+    """dataset_builder with process_index/process_count config keys decodes
+    a disjoint file subset per simulated host."""
+    from PIL import Image
+    from blind_image_denoising_tpu.data.dataset import dataset_builder
+
+    d = tmp_path / "ds"
+    d.mkdir()
+    for i in range(6):
+        Image.fromarray(np.full((20, 20, 3), 40 * i, np.uint8)).save(
+            d / f"{i}.png")
+
+    seen = []
+    for p in range(2):
+        cfg = {"batch_size": 1, "input_shape": [8, 8, 3],
+               "inputs": [{"directory": str(d)}],
+               "process_index": p, "process_count": 2}
+        res = dataset_builder(cfg)
+        vals = set()
+        for b in res.training:
+            vals.update(np.unique(b).astype(int).tolist())
+        seen.append(vals)
+    # each host sees a PROPER, nonempty subset; union covers all levels
+    assert seen[0] and seen[1]
+    assert seen[0] | seen[1] == {0, 40, 80, 120, 160, 200}
+    assert seen[0] != seen[1]
