@@ -3,17 +3,28 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N}
 
-The reference publishes no throughput numbers (SURVEY §6); the driver
-baseline (BASELINE.json) is TF-CPU-derived 256×256 images/sec. We measure
-steady-state jitted forward throughput at batch 8, 256×256×3, on whatever
-accelerator jax.devices() exposes (one TPU chip under the driver).
+Methodology (IMPORTANT — changed in round 2): K model applications are
+chained inside ONE jitted program via lax.scan (each iteration consumes
+the previous output) reduced to a scalar, and the wall time difference
+between a K=30 and a K=10 program — each fetched with device_get, which
+truly blocks — gives the per-batch compute time with constant overheads
+cancelled. Plain dispatch-loop timing with block_until_ready is NOT valid
+through this environment's TPU tunnel: block_until_ready returns before
+remote execution completes, so such loops measure the ENQUEUE rate
+(observed up to 1.45M "img/s", i.e. nonsense). Round-1 numbers recorded
+that way (55,962 driver-captured; 77,980 in earlier docs) were enqueue
+artifacts; the honest steady-state compute number on one v5e chip is
+~400 img/s bf16 @256² — still >140x the measured TF-CPU baseline.
+
+The reference publishes no throughput numbers (SURVEY §6); the baseline
+below is the reference's OWN model (its model_builder, unet_laplacian_v6
+config) measured on this machine's CPU.
 """
 
 import json
 import time
 
 import numpy as np
-
 
 # MEASURED on this machine (2026-08-16): the reference's own model_builder
 # (unet_laplacian_v6.json) under TF 2.21 + tf_keras legacy, CPU, tf.function
@@ -22,22 +33,25 @@ import numpy as np
 # 0.37 img/s. We quote the faster plain-graph number as the baseline.
 BASELINE_IMAGES_PER_SEC = 2.69
 
+BATCH = 32
+K1, K2 = 10, 30
+
 
 def main():
     import jax
     import jax.numpy as jnp
+    from jax import lax
     import blind_image_denoising_tpu as bid
     from blind_image_denoising_tpu.models.hydra import model_builder
 
     cfg = bid.CONFIGS_DICT["unet_laplacian_v6"]
-    # bfloat16 compute: MXU-native on TPU (~2.1x over f32 measured on v5e);
-    # params stay f32, activations/conv math run bf16
+    # bfloat16 compute: MXU-native on TPU (measured 1.49x over f32 at b32
+    # with honest timing); params stay f32
     results = model_builder(cfg["model"], dtype=jnp.bfloat16)
     hydra = results.hydra
 
-    batch, hw = 8, 256
     x = jnp.asarray(
-        np.random.default_rng(0).uniform(0, 255, (batch, hw, hw, 3))
+        np.random.default_rng(0).uniform(0, 255, (BATCH, 256, 256, 3))
         .astype(np.float32))
     # init at a tiny spatial size: fully-convolutional param shapes are
     # size-independent and the small init compiles minutes faster cold
@@ -45,25 +59,29 @@ def main():
                            jnp.zeros((1, 32, 32, 3), jnp.float32),
                            train=False)
 
-    fwd = jax.jit(lambda v, im: hydra.apply(v, im, train=False)[0])
-    # warmup/compile
-    jax.block_until_ready(fwd(variables, x))
+    def make_chain(k):
+        def chain(v, img):
+            def body(c, _):
+                return (hydra.apply(v, c, train=False)[0]
+                        .astype(jnp.float32), None)
+            y, _ = lax.scan(body, img, None, length=k)
+            return y.sum()
+        return jax.jit(chain)
 
-    # timed steady state: keep the window ≥ ~2s — short windows are
-    # dominated by dispatch jitter (observed 2x run-to-run swings at 20
-    # iters through the TPU tunnel)
-    iters = 50
-    while True:
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fwd(variables, x)
-        jax.block_until_ready(out)
-        dt = time.perf_counter() - t0
-        if dt > 2.0 or iters >= 3200:
-            break
-        iters *= 2
+    def timed(f, reps=5):
+        float(f(variables, x))  # compile + warm
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(f(variables, x))  # device_get: truly blocks
+            best = min(best, time.perf_counter() - t0)
+        return best
 
-    images_per_sec = batch * iters / dt
+    t1 = timed(make_chain(K1))
+    t2 = timed(make_chain(K2))
+    per_batch = (t2 - t1) / (K2 - K1)
+    images_per_sec = BATCH / per_batch
+
     print(json.dumps({
         "metric": "unet_laplacian_v6_256px_inference",
         "value": round(images_per_sec, 2),

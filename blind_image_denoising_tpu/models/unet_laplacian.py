@@ -14,11 +14,12 @@ TPU design notes:
   dependency structure is statically a chain — node (d,1) depends on
   (d,0) and (d+1,1) — so here the decoder is a plain reversed loop; the
   whole network traces to one static XLA graph.
-* The Laplacian band-split is an avg-pool + subtract. On TPU backends it
-  runs as the fused Pallas kernel ops/pallas_pyramid.laplacian_band_smooth
-  (one VMEM pass, custom-VJP for training; gated by the backbone's
-  use_pallas_pyramid key, default auto); elsewhere XLA fuses the plain
-  composition with the surrounding convs.
+* The Laplacian band-split is an avg-pool + subtract, fused by XLA into
+  the surrounding convs. A Pallas kernel alternative exists
+  (ops/pallas_pyramid.laplacian_band_smooth, custom-VJP, wired via the
+  backbone's use_pallas_pyramid key) but defaults OFF: honest
+  K-differenced on-TPU timing measured it 8-11% slower end-to-end than
+  the XLA fusion — see ops/pallas_pyramid.py.
 * Every scale's output is a separate array so the multi-head hydra and
   per-scale deep supervision shard naturally over a data-parallel mesh.
 """
@@ -88,9 +89,14 @@ class UnetLaplacianBackbone(nn.Module):
         csa_dropout = float(cfg.get(
             "convolutional_self_attention_dropout_rate", 0.0))
         multiple_scale_outputs = cfg.get("multiple_scale_outputs", True)
-        # "auto" (default): fused Pallas band-split kernel whenever running
-        # on a TPU backend; true/false force it. XLA fallback elsewhere.
-        pallas_pyramid = cfg.get("use_pallas_pyramid", "auto")
+        # Fused Pallas band-split kernel: "auto" → on when on a TPU
+        # backend; default OFF — honest K-differenced timing (device_get
+        # forced; the tunnel's block_until_ready returns early) measured
+        # the kernel 8-11% SLOWER end-to-end than XLA's own fusion of
+        # pool+subtract into the surrounding convs, because band+smooth
+        # both round-trip HBM where XLA fuses the subtract into consumers.
+        # Kept as an option for reuse in memory-bound compositions.
+        pallas_pyramid = cfg.get("use_pallas_pyramid", False)
         use_pallas = (on_tpu() if pallas_pyramid == "auto"
                       else bool(pallas_pyramid))
         if soft_orthogonal and soft_orthonormal:

@@ -18,6 +18,19 @@ Layout: images run as [H, W·C] so the lane dimension is 128-aligned.
 Row tiles of 32 keep each cell's working set ≈ a few MB of VMEM; the k−1
 halo rows are re-read via overlapping input windows expressed as a second
 tiled view of the same operand shifted by the pad.
+
+MEASURED VERDICT (2026-08-16, v5e via the axon tunnel): wired into the
+flagship unet_laplacian encoder (use_pallas_pyramid), the fused kernel is
+8-11% SLOWER end-to-end than the plain-XLA composition (bf16 b8 @256²:
+392 img/s XLA vs 362 Pallas; b32: 405 vs 367; f32 b32: 271 vs 242) —
+XLA fuses the subtract into the consuming convs so only `smooth` costs
+HBM, while the kernel materializes both outputs. An earlier "2.6x over
+XLA" claim came from dispatch-loop timing, which on this tunnel measures
+ENQUEUE rate (block_until_ready returns before execution completes) —
+it is retracted; only device_get-forced, K-differenced timings are
+trustworthy here (see bench.py). The kernels stay available (forward
+parity exact, custom-VJP training-correct) for memory-bound
+compositions where no consuming op can absorb the subtract.
 """
 
 from functools import partial

@@ -92,3 +92,58 @@ def test_shipped_finetuned_artifact():
                     .normal(0, 60, clean.shape), 0, 255).astype(np.uint8)
     out = np.asarray(den(noisy)).astype(np.float32)
     assert np.abs(out - clean).mean() < 0.25 * np.abs(noisy - clean).mean()
+
+
+V56_KERAS = ("/root/reference/bfcnn/pretrained/unet_laplacian_v5.6/"
+             "model_hydra.keras")
+
+
+@pytest.mark.skipif(not os.path.isfile(V56_KERAS),
+                    reason="reference pretrained artifact not mounted")
+@pytest.mark.skipif(not os.path.isdir(KITTI_DIR),
+                    reason="KITTI test frames not mounted")
+def test_acceptance_gate_all_kitti_full_sweep():
+    """Reference-strength acceptance gate (test_pretrained.py:63-80 parity):
+    every mounted KITTI frame (consistent 256x512 crops) and every std in
+    {10,15,20,25,30}; PSNR AND SSIM AND MAE must all improve. Uses the
+    native float32 import (much faster than the TFLite executor) and one
+    batched forward per std.
+
+    Default suite covers every frame and every std by dealing the frames
+    round-robin across the five stds (~1/5 the compute: the full
+    cross-product takes ~22 min on CPU — verified passing once 2026-08-16).
+    Set BID_FULL_ACCEPTANCE=1 for the full frames×stds product."""
+    import blind_image_denoising_tpu as bid
+    from blind_image_denoising_tpu.data.file_operations import load_image
+    from blind_image_denoising_tpu.ops.losses import psnr
+    from blind_image_denoising_tpu.ops.ssim import ssim
+
+    den = bid.load_model(os.path.dirname(V56_KERAS))
+
+    crops = []
+    for f in sorted(os.listdir(KITTI_DIR)):
+        img = load_image(os.path.join(KITTI_DIR, f), num_channels=3)
+        if img.shape[0] >= 256 and img.shape[1] >= 512:
+            crops.append(img[:256, :512])
+    assert len(crops) >= 10, "expected the full KITTI test set"
+    clean_all = np.stack(crops, axis=0).astype(np.float32)
+
+    stds = (10, 15, 20, 25, 30)
+    full = os.environ.get("BID_FULL_ACCEPTANCE") == "1"
+    rng = np.random.default_rng(0)
+    for i, std in enumerate(stds):
+        clean = clean_all if full else clean_all[i::len(stds)]
+        clean_j = jnp.asarray(clean)
+        noisy = np.clip(np.round(clean + rng.normal(0, std, clean.shape)),
+                        0, 255).astype(np.uint8)
+        noisy_f = jnp.asarray(noisy, jnp.float32)
+        out = jnp.asarray(np.asarray(den(noisy)), jnp.float32)
+
+        mae_n = float(jnp.abs(noisy_f - clean_j).mean())
+        mae_d = float(jnp.abs(out - clean_j).mean())
+        assert mae_d < mae_n, f"MAE not improved at std {std}"
+        assert float(psnr(clean_j, out)) > float(psnr(clean_j, noisy_f)), \
+            f"PSNR not improved at std {std}"
+        assert float(ssim(clean_j, out).mean()) > \
+            float(ssim(clean_j, noisy_f).mean()), \
+            f"SSIM not improved at std {std}"
