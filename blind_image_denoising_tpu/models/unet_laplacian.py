@@ -106,7 +106,12 @@ class UnetLaplacianBackbone(nn.Module):
             raise ValueError("convolutional_self_attention_dropout_rate must "
                              "be within [0, 1]")
 
-        depth_drop_rates = list(np.linspace(0.0, max(0.0, depth_drop_rate), width))
+        # plain Python floats: a numpy-scalar rate makes flax Dropout's
+        # keep_prob strong-typed, promoting bf16 activations to f32 and
+        # crashing lax.select under bfloat16 compute
+        depth_drop_rates = [
+            float(r)
+            for r in np.linspace(0.0, max(0.0, depth_drop_rate), width)]
 
         # --- per-depth conv parameter tables
         def level_filters(d: int) -> int:

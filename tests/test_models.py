@@ -143,3 +143,31 @@ def test_mean_sigma_normalization_changes_output():
         outs.append(np.asarray(hydra.apply(vs, x, train=False)[0]))
     assert outs[0].shape == outs[1].shape
     assert not np.allclose(outs[0], outs[1])
+
+
+def test_bf16_train_mode_with_stochastic_depth():
+    """bfloat16 compute must survive train-mode dropout paths: a
+    numpy-scalar drop rate used to strong-type flax Dropout's keep_prob
+    and crash lax.select with mixed dtypes (found training the flagship
+    in bf16 on TPU)."""
+    cfg = {"backbone": {
+        "type": "unet_laplacian", "input_shape": ["?", "?", 3],
+        "depth": 2, "width": 2, "filters": 4,
+        "encoder_kernel_size": 3, "decoder_kernel_size": 3,
+        "gaussian_kernel_size": 2, "activation": "leaky_relu_01",
+        "upsample_type": "upsample_nearest_conv2d",
+        "downsample_type": "strides",
+        "use_bn": False, "use_ln": True, "use_bias": False,
+        "use_laplacian_averaging": True, "depth_drop_rate": 0.3,
+        "multiple_scale_outputs": False,
+        "kernel_regularizer": "l2", "kernel_initializer": "glorot_normal"},
+        "denoiser": {"filters": 4, "use_bias": False, "output_channels": 3}}
+    hydra = model_builder(cfg, dtype=jnp.bfloat16).hydra
+    x = jnp.asarray(np.random.default_rng(0)
+                    .uniform(0, 255, (2, 32, 32, 3)).astype(np.float32))
+    vs = hydra.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    vs = {k: v for k, v in vs.items() if k in ("params", "batch_stats")}
+    out = hydra.apply(vs, x, train=True,
+                      rngs={"dropout": jax.random.PRNGKey(1)},
+                      mutable=["losses"])[0][0]
+    assert out.shape == (2, 32, 32, 3)
