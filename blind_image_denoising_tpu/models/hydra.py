@@ -22,7 +22,11 @@ import flax.linen as nn
 
 from ..config import input_shape_fixer
 from ..layers.conv import ConvBlock
+from ..logger import logger
 from ..ops.normalize import normalize, denormalize
+from . import resnet as _resnet_mod
+from . import unet as _unet_mod
+from . import unet_laplacian as _unet_laplacian_mod
 from .resnet import ResnetBackbone, ConvNextBackbone
 from .segnet import SegnetBackbone
 from .unet import UnetBackbone
@@ -42,6 +46,39 @@ _BACKBONES = {
     "segnet": SegnetBackbone,
 }
 
+_BACKBONE_KEYS = {
+    "resnet": _resnet_mod.KNOWN_KEYS,
+    "convnext": _resnet_mod.KNOWN_KEYS,
+    "unet": _unet_mod.KNOWN_KEYS,
+    "unet_laplacian": _unet_laplacian_mod.KNOWN_KEYS,
+}
+
+# options the reference's own snapshot parses but never applies (their
+# use_* flag is assigned and nothing reads it) — accepted with a warning
+_REFERENCE_NOOP_KEYS = frozenset({
+    "add_gradient_dropout",  # reference backbone_blocks.py:130
+})
+
+
+def _warn_unknown_keys(config: Dict, model_type: str) -> None:
+    """Warn on config keys the builder does not understand, instead of
+    silently building a different model (the VERDICT-r1 failure mode for
+    add_mean_sigma_normalization)."""
+    known = _BACKBONE_KEYS.get(model_type)
+    if known is None:
+        return
+    for k in sorted(config):
+        if k in known:
+            continue
+        if k in _REFERENCE_NOOP_KEYS:
+            logger.warning(
+                f"backbone [{model_type}]: '{k}' accepted but a NO-OP "
+                f"(the reference snapshot also never applies it)")
+        else:
+            logger.warning(
+                f"backbone [{model_type}]: unrecognized config key "
+                f"'{k}' is IGNORED")
+
 
 def backbone_from_config(config: Dict, dtype: Any = None) -> nn.Module:
     """Dispatch a backbone config to its module
@@ -51,6 +88,7 @@ def backbone_from_config(config: Dict, dtype: Any = None) -> nn.Module:
         raise NotImplementedError("efficientnet not implemented")
     if model_type not in _BACKBONES:
         raise ValueError(f"don't know how to build backbone [{model_type}]")
+    _warn_unknown_keys(config, model_type)
     return _BACKBONES[model_type](config=config, dtype=dtype, name="backbone")
 
 

@@ -129,3 +129,17 @@ class UnetBackbone(nn.Module):
             x = jnp.tanh(x)
 
         return [x]
+
+
+KNOWN_KEYS = frozenset({
+    "type", "input_shape", "value_range",
+    "filters", "no_layers", "no_levels", "kernel_size", "activation",
+    "base_activation", "use_bias", "use_bn", "batchnorm",
+    "kernel_regularizer", "kernel_initializer",
+    "block_kernels", "block_filters", "block_depthwise", "block_groups",
+    "block_regularizer", "block_activation",
+    "add_initial_bn", "add_final_bn", "add_concat_input", "add_gates",
+    "add_channelwise_scaling", "add_learnable_multiplier",
+    "add_mean_sigma_normalization", "add_clip", "add_sparse_features",
+    "dropout_rate",
+})

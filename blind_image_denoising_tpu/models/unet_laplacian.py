@@ -292,3 +292,21 @@ class UnetLaplacianBackbone(nn.Module):
         if multiple_scale_outputs:
             return [decoded[d] for d in range(depth)]
         return [decoded[0]]
+
+
+KNOWN_KEYS = frozenset({
+    "type", "input_shape", "value_range",
+    "depth", "width", "filters", "max_filters", "filters_level_multiplier",
+    "activation", "encoder_kernel_size", "decoder_kernel_size",
+    "gaussian_kernel_size", "upsample_type", "downsample_type",
+    "use_bn", "use_ln", "use_bias", "use_gamma", "use_concat",
+    "use_laplacian", "use_laplacian_averaging", "use_mix_project",
+    "use_self_attention", "use_attention_gates", "use_complex_base",
+    "use_global_pool_information", "use_output_normalization",
+    "use_soft_orthogonal_regularization",
+    "use_soft_orthonormal_regularization",
+    "kernel_regularizer", "kernel_initializer",
+    "dropout_rate", "spatial_dropout_rate", "depth_drop_rate",
+    "convolutional_self_attention_dropout_rate",
+    "multiple_scale_outputs", "use_pallas_pyramid",
+})

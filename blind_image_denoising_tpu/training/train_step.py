@@ -54,8 +54,9 @@ def build_train_step(
 
     ``grad_stats``: also return per-kernel gradient five-number summaries
     (min/p25/p50/p75/max) under ``metrics["grad_stats"]`` for gradient
-    boxplot figures (reference train_loop.py:532-541). Off by default —
-    the percentiles cost a sort per tensor per step.
+    boxplot figures (reference train_loop.py:532-541). Measured cost on
+    the flagship (v5e, honest chained timing): +0.3 ms on a 33.9 ms bf16
+    step (~0.9%).
     """
     denoiser_loss = loss_fns["denoiser"]
     model_loss = loss_fns["model"]

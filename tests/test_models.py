@@ -171,3 +171,30 @@ def test_bf16_train_mode_with_stochastic_depth():
                       rngs={"dropout": jax.random.PRNGKey(1)},
                       mutable=["losses"])[0][0]
     assert out.shape == (2, 32, 32, 3)
+
+
+def test_config_key_audit(caplog):
+    """Unknown backbone keys warn; every packaged config is clean."""
+    import logging
+    from blind_image_denoising_tpu.models.hydra import backbone_from_config
+
+    base = {"type": "resnet", "input_shape": ["?", "?", 3], "filters": 4,
+            "no_layers": 1, "block_kernels": [3], "block_filters": [4]}
+
+    with caplog.at_level(logging.WARNING, logger="bfcnn_tpu"):
+        backbone_from_config(dict(base, definitely_not_a_key=1))
+    assert any("definitely_not_a_key" in r.message for r in caplog.records)
+    caplog.clear()
+
+    with caplog.at_level(logging.WARNING, logger="bfcnn_tpu"):
+        backbone_from_config(dict(base, add_gradient_dropout=True))
+    assert any("NO-OP" in r.message for r in caplog.records)
+    caplog.clear()
+
+    with caplog.at_level(logging.WARNING, logger="bfcnn_tpu"):
+        for name in CONFIG_NAMES:
+            backbone_from_config(
+                dict(bid.CONFIGS_DICT[name]["model"]["backbone"],
+                     input_shape=["?", "?", 3]))
+    ignored = [r.message for r in caplog.records if "IGNORED" in r.message]
+    assert not ignored, f"packaged configs carry unknown keys: {ignored}"
