@@ -16,11 +16,18 @@ import numpy as np
 
 
 def device_prefetch(iterable: Iterable, sharding=None,
-                    prefetch: int = 2) -> Iterator:
+                    prefetch: int = 2,
+                    transfer_dtype=None) -> Iterator:
     """Yield device-resident batches from a host iterable.
 
     ``sharding``: optional jax.sharding.Sharding to place batches with
     (e.g. the mesh data-sharding); None → default device placement.
+
+    ``transfer_dtype=np.uint8``: round/clip on the host and ship uint8,
+    quartering host→device bytes (the tunnel makes transfer expensive).
+    Lossless whenever the training pipeline rounds inputs anyway
+    (``dataset.round_values``, the reference default — dataset.py:228);
+    the train step casts back to float32 on device.
     """
     q: "queue.Queue" = queue.Queue(maxsize=prefetch)
     _END = object()
@@ -43,6 +50,9 @@ def device_prefetch(iterable: Iterable, sharding=None,
             for item in it:
                 if stop.is_set():
                     break
+                if transfer_dtype is not None:
+                    item = np.clip(np.round(item), 0, 255).astype(
+                        transfer_dtype)
                 arr = jax.device_put(np.ascontiguousarray(item), sharding)
                 if not _put(arr):
                     break

@@ -213,7 +213,11 @@ def train_loop(
         from ..parallel.mesh import data_sharding
         batches = device_prefetch(
             GroupedBatches(dataset.training, grad_accum),
-            sharding=data_sharding(mesh), prefetch=2)
+            sharding=data_sharding(mesh), prefetch=2,
+            # uint8 transfer is lossless when inputs get rounded on device
+            transfer_dtype=(
+                np.uint8 if dataset_config.get("round_values", True)
+                else None))
         profile_at = train_config.get("profile_at_step", -1)
         try:
           for batch_dev in batches:

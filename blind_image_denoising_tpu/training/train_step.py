@@ -129,6 +129,9 @@ def build_train_step(
 
     def train_step(state: TrainState, batch: jnp.ndarray, rng: jax.Array,
                    depth_weights: jnp.ndarray):
+        # batches may arrive as uint8 (4x cheaper host→device transfer,
+        # data/prefetch.py transfer_dtype) — widen on device
+        batch = batch.astype(jnp.float32)
         n = grad_accum
         b = batch.shape[0] // n
         chunks = batch.reshape((n, b) + batch.shape[1:])

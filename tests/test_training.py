@@ -205,3 +205,38 @@ def test_train_step_decreases_loss_tiny_model():
         losses.append(float(metrics[TOTAL_LOSS_STR]))
     assert losses[-1] < losses[0]
     assert int(state.step) == 5
+
+
+def test_uint8_batch_transfer_equivalent():
+    """A uint8 batch (cheap host→device transfer) must produce the same
+    step as the float32 batch it was rounded from."""
+    from blind_image_denoising_tpu.models.hydra import model_builder
+    from blind_image_denoising_tpu.training.train_state import create_train_state
+    from blind_image_denoising_tpu.training.train_step import build_train_step
+
+    cfg = {"backbone": {
+        "type": "resnet", "input_shape": ["?", "?", 3], "filters": 4,
+        "no_layers": 1, "kernel_size": 3, "block_kernels": [3],
+        "block_filters": [4], "activation": "relu", "batchnorm": False,
+        "value_range": [0, 255], "kernel_regularizer": "l1",
+        "kernel_initializer": "glorot_normal"},
+        "denoiser": {"use_bias": False, "output_channels": 3}}
+    loss_fns = loss_function_builder({"hinge": 0.0, "mae_multiplier": 1.0,
+                                      "ssim_multiplier": -1.0})
+    tx, _ = optimizer_builder({
+        "type": "ADAM", "schedule": {"type": "cosine_decay", "config": {
+            "learning_rate": 0.01, "decay_steps": 100}}})
+    hydra = model_builder(cfg).hydra
+    sample = jnp.zeros((2, 16, 16, 3))
+    state = create_train_state(hydra, tx, jax.random.PRNGKey(0), sample)
+    step = jax.jit(build_train_step(hydra, tx, loss_fns, no_outputs=1,
+                                    additive_noise=[5, 10], grad_accum=1))
+    f32 = jnp.asarray(np.round(np.random.default_rng(0)
+                      .uniform(0, 255, (2, 16, 16, 3))).astype(np.float32))
+    u8 = jnp.asarray(np.asarray(f32).astype(np.uint8))
+    key = jax.random.PRNGKey(5)
+    dw = jnp.ones((1,), jnp.float32)
+    _, m_f32 = step(state, f32, key, dw)
+    _, m_u8 = step(state, u8, key, dw)
+    assert float(m_f32[TOTAL_LOSS_STR]) == pytest.approx(
+        float(m_u8[TOTAL_LOSS_STR]), rel=1e-6)
