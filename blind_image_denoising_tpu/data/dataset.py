@@ -236,18 +236,24 @@ class SyntheticDataset:
     dataset directories exist: smooth random gradients + shapes, [0, 255]."""
 
     def __init__(self, batch_size: int, crop_size, num_channels: int = 3,
-                 batches_per_epoch: int = 16, seed: int = 0):
+                 batches_per_epoch: int = 16, seed: int = 0,
+                 repeat: bool = False):
         self._bs = batch_size
         self._hw = (int(crop_size[0]), int(crop_size[1]))
         self._c = num_channels
         self._n = batches_per_epoch
         self._seed = seed
+        # repeat mode: one endless stream — the epoch loop never restarts
+        # the pipeline (same contract as _EpochIterable repeat)
+        self._repeat = repeat
 
     def __iter__(self):
         rng = np.random.default_rng(self._seed)
         h, w = self._hw
         yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
-        for _ in range(self._n):
+        count = 0
+        while self._repeat or count < self._n:
+            count += 1
             batch = np.empty((self._bs, h, w, self._c), np.float32)
             for b in range(self._bs):
                 fx, fy = rng.uniform(0.5, 4.0, 2)
@@ -309,7 +315,8 @@ def dataset_builder(config: Dict) -> DatasetResults:
             scale_range=config.get("crop_scale_range"))
     else:
         logger.warning("no dataset images found; using synthetic stream")
-        training = SyntheticDataset(batch_size, crop_size, num_channels)
+        training = SyntheticDataset(batch_size, crop_size, num_channels,
+                                    repeat=bool(config.get("repeat", False)))
 
     return DatasetResults(
         config=config,

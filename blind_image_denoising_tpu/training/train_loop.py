@@ -167,13 +167,40 @@ def train_loop(
     key = jax.random.PRNGKey(int(state.step) + 1)
     finished = False
     last_grad_stats = None
+    # the step counter lives on HOST — int(state.step) is a device sync
+    # per call, and through the TPU tunnel that sync dominated step time
+    host_step = int(state.step)
+    # metrics of a step are fetched one iteration LATER, after the next
+    # step has been dispatched, so the host's device_get overlaps with
+    # device compute instead of serializing with it
+    pending_metrics = None
+
+    def _process_metrics(step, metrics, epoch):
+        nonlocal last_grad_stats, t_last, steps_last
+        host_metrics = jax.device_get(metrics)
+        last_grad_stats = host_metrics.pop("grad_stats", last_grad_stats)
+        scalars = {k: float(v) for k, v in host_metrics.items()}
+        scalars["learning_rate"] = float(np.asarray(lr_schedule(step)))
+        scalars["epoch"] = epoch
+        now = time.time()
+        if now > t_last:
+            scalars["steps_per_second"] = \
+                (step - steps_last) / (now - t_last)
+        t_last, steps_last = now, step
+        writer.scalars(step, scalars)
+        if step - _last_progress["step"] >= 100:
+            _last_progress["step"] = step
+            logger.info(
+                f"step {step}: total "
+                f"{scalars.get(TOTAL_LOSS_STR, float('nan')):.3f} "
+                f"mae0 "
+                f"{scalars.get('scale_0/mae_loss', float('nan')):.3f}")
     t_last, steps_last = time.time(), int(state.step)
     repeat_stream = bool(dataset_config.get("repeat", False))
     _last_progress = {"step": int(state.step)}
     _refresh_marker = {"step": -1}
 
-    def steps_since_print_or_refresh(s_, every=100):
-        step_ = int(s_.step)
+    def steps_since_print_or_refresh(step_, every=100):
         if step_ - _refresh_marker["step"] >= every:
             _refresh_marker["step"] = step_
             return True
@@ -226,13 +253,13 @@ def train_loop(
             # repeat-mode / epochless streams never end an epoch, so
             # refresh the deep-supervision ramp from step progress
             # periodically (keyed on the stream property, not on epochs)
-            if (total_steps > 0 and steps_since_print_or_refresh(state)
+            if (total_steps > 0 and steps_since_print_or_refresh(host_step)
                     and (repeat_stream or epochs in (-1, 0))):
-                pct_done = min(1.0, int(state.step) / float(total_steps))
+                pct_done = min(1.0, host_step / float(total_steps))
                 depth_weights = jnp.asarray(ds_schedule(pct_done),
                                             jnp.float32)
 
-            if profile_at > 0 and int(state.step) + 1 == profile_at:
+            if profile_at > 0 and host_step + 1 == profile_at:
                 # one-shot device trace of a REGULAR training step
                 # (reference's step-0 graph trace analog,
                 # train_loop.py:323-338) — profiling must observe, not
@@ -245,37 +272,25 @@ def train_loop(
             else:
                 state, metrics = train_step(state, batch_dev, step_key,
                                             depth_weights)
-            step = int(state.step)
+            host_step += 1
+            step = host_step
 
-            # scalar metrics every log_every applied steps. ONE device_get
-            # for the whole dict: per-scalar float() costs a device round
-            # trip each (~10-50 ms over the TPU tunnel — it dominated step
-            # time before this batching)
+            # metrics of the PREVIOUS logged step: its device_get (one per
+            # dict — per-scalar float() costs a round trip each) now
+            # overlaps with the step just dispatched above
+            if pending_metrics is not None:
+                _process_metrics(*pending_metrics)
+                pending_metrics = None
             if step % log_every == 0:
-                host_metrics = jax.device_get(metrics)
-                last_grad_stats = host_metrics.pop("grad_stats",
-                                                   last_grad_stats)
-                scalars = {k: float(v) for k, v in host_metrics.items()}
-                scalars["learning_rate"] = float(
-                    np.asarray(lr_schedule(step)))
-                scalars["epoch"] = epoch
-                now = time.time()
-                if now > t_last:
-                    scalars["steps_per_second"] = \
-                        (step - steps_last) / (now - t_last)
-                t_last, steps_last = now, step
-                writer.scalars(step, scalars)
-                if step - _last_progress["step"] >= 100:
-                    _last_progress["step"] = step
-                    logger.info(
-                        f"step {step}: total "
-                        f"{scalars.get(TOTAL_LOSS_STR, float('nan')):.3f} "
-                        f"mae0 "
-                        f"{scalars.get('scale_0/mae_loss', float('nan')):.3f}")
+                pending_metrics = (step, metrics, epoch)
 
             # periodic noise-sweep evaluation + weight stats/figures
             if (eval_batch is not None and visualization_every > 0
                     and step % visualization_every == 0):
+                # flush so the figures reflect THIS step's gradients
+                if pending_metrics is not None:
+                    _process_metrics(*pending_metrics)
+                    pending_metrics = None
                 _noise_sweep_eval(eval_step, state, eval_batch, writer, step)
                 _weight_stats(state, writer, step)
                 _weight_figures(state, writer, step)
@@ -291,6 +306,12 @@ def train_loop(
             # stop the prefetch producer + dataset workers promptly on
             # early exit (total_steps / preemption)
             batches.close()
+            if pending_metrics is not None:
+                try:
+                    _process_metrics(*pending_metrics)
+                except Exception as e:  # pragma: no cover — device died
+                    logger.warning(f"final metrics fetch failed: {e}")
+                pending_metrics = None
 
         state = state.replace(epoch=state.epoch + 1)
         manager.save(state, force=True)
