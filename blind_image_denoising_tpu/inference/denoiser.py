@@ -50,9 +50,16 @@ class Denoiser:
             self._forward = denoise_spatially_sharded(
                 lambda v, x: model.apply(v, x, train=False)[0],
                 variables, mesh, spatial_margin)
+            self._jitted_e2e = None
         else:
             self._forward = jax.jit(
                 lambda x: model.apply(variables, x, train=False)[0])
+            # whole serving pipeline (widen → pad/tile → forward → unpad →
+            # round/clip → cast) as ONE jitted program per input shape:
+            # the epilogue fuses into the forward instead of running as
+            # separate eager device ops, and a uint8 input ships 4x fewer
+            # host→device bytes
+            self._jitted_e2e = jax.jit(self._e2e)
 
     def _pad_target(self, n: int) -> int:
         if self._pad_mode == "pow2":
@@ -91,22 +98,29 @@ class Denoiser:
             outs.append(band[:, start - lo: start - lo + (stop - start)])
         return jnp.concatenate(outs, axis=1)
 
-    def __call__(self, image) -> np.ndarray:
-        """image: uint8/float [H, W, C] or [B, H, W, C]; returns same rank.
-        """
-        x = jnp.asarray(image)
+    def _e2e(self, x: jnp.ndarray) -> jnp.ndarray:
+        """The whole serving pipeline, traceable as one program (rank and
+        shapes are static per jit specialization)."""
         squeeze = x.ndim == 3
         if squeeze:
             x = x[None]
         x = x.astype(jnp.float32)
-
         if self._tile_rows > 0 and x.shape[1] > self._tile_rows:
             y = self._run_tiled(x)
         else:
             y = self._run_padded(x)
-
         if squeeze:
             y = y[0]
         y = jnp.clip(jnp.round(y), 0.0, 255.0)
-        out = np.asarray(y)
-        return out.astype(np.uint8) if self._cast else out
+        return y.astype(jnp.uint8) if self._cast else y
+
+    def __call__(self, image) -> np.ndarray:
+        """image: uint8/float [H, W, C] or [B, H, W, C]; returns same rank.
+        """
+        if self._jitted_e2e is not None:
+            # uint8 in → uint8 out in one fused program; jit specializes
+            # (and caches) per input shape/dtype
+            return np.asarray(self._jitted_e2e(np.asarray(image)))
+        # multi-chip spatial path: eager orchestration around the
+        # shard_map'd halo forward
+        return np.asarray(self._e2e(jnp.asarray(image)))
