@@ -67,7 +67,22 @@ def load_image(
 
     ``image_size`` resizes-with-pad to (H, W) keeping aspect ratio.
     ``normalize`` maps to [-0.5, 0.5]; otherwise values stay in [0, 255].
+
+    JPEG/PNG decode goes through the native C++ worker when it is
+    available (data/native_decode.py — GIL-free, no PIL object churn);
+    anything it can't handle falls back to PIL.
     """
+    if image_size is None:
+        from . import native_decode
+        native = native_decode.decode(path, num_channels=num_channels)
+        if native is not None:
+            x = np.asarray(native, dtype=dtype)
+            if normalize:
+                x = np.clip(x, 0.0, 255.0) / 255.0 - 0.5
+            if expand_dims:
+                x = x[None, ...]
+            return x
+
     from PIL import Image
 
     img = Image.open(str(path))

@@ -158,3 +158,43 @@ def test_scaled_random_crops(image_dir):
     same = random_crops(img, (32, 32), 4, _random.Random(1),
                         scale_range=(1.0, 1.0))
     assert all(c.dtype == np.float32 and c.shape == (32, 32, 3) for c in same)
+
+
+def test_native_decoder_parity(tmp_path):
+    """The C++ decode worker must produce exactly what PIL produces for
+    PNG and JPEG (JPEG: same libjpeg underneath → identical pixels), with
+    graceful fallback when unavailable."""
+    from PIL import Image
+    from blind_image_denoising_tpu.data import native_decode
+    from blind_image_denoising_tpu.data.file_operations import load_image
+
+    if not native_decode.available():
+        import pytest as _pytest
+        _pytest.skip("native decoder not buildable in this environment")
+
+    rng = np.random.default_rng(0)
+    rgb = rng.integers(0, 256, (37, 53, 3), np.uint8)
+    png = tmp_path / "x.png"
+    jpg = tmp_path / "x.jpg"
+    Image.fromarray(rgb).save(png)
+    Image.fromarray(rgb).save(jpg, quality=90)
+
+    for path in (png, jpg):
+        for ch in (1, 3):
+            ours = native_decode.decode(str(path), num_channels=ch)
+            theirs = np.asarray(
+                Image.open(str(path)).convert({1: "L", 3: "RGB"}[ch]))
+            if theirs.ndim == 2:
+                theirs = theirs[:, :, None]
+            assert ours.shape == theirs.shape, (path, ch)
+            np.testing.assert_array_equal(ours, theirs, err_msg=f"{path} {ch}")
+
+    # load_image routes through the native path and matches dtype/range
+    x = load_image(str(png), num_channels=3)
+    assert x.dtype == np.float32 and x.shape == (37, 53, 3)
+    np.testing.assert_array_equal(x.astype(np.uint8), rgb)
+
+    # non-image path → native returns None (no crash)
+    bad = tmp_path / "bad.png"
+    bad.write_bytes(b"not an image")
+    assert native_decode.decode(str(bad)) is None
