@@ -17,6 +17,7 @@ setup(
             "pretrained/*/*",
             "images/*.png",
             "images/*.jpg",
+            "data/native/*.cc",
         ],
     },
     install_requires=[
