@@ -1,0 +1,200 @@
+"""Serving frontend: request batching over a loaded denoiser.
+
+The reference has no serving layer (its deployment story ends at the
+SavedModel/TFLite artifact, export_model.py); production TPU serving wants
+batched execution — the chip is throughput-oriented (docs/PERF.md: batch 32
+runs ~8× more images/sec than batch 1 pays per dispatch) — so this module
+provides:
+
+* :class:`BatchingDenoiser` — thread-safe micro-batcher: concurrent
+  callers' single images are grouped (same-shape) into one device batch,
+  up to ``max_batch`` or ``max_wait_ms``, and answered individually.
+* :func:`main` — a minimal stdlib HTTP server (``python -m
+  blind_image_denoising_tpu.serving --model <name-or-dir>``): POST a
+  PNG/JPEG body to ``/denoise`` → PNG response; GET ``/healthz`` → ok.
+
+Only same-shape requests batch together (XLA graphs are shape-specialized;
+the underlying Denoiser pads per shape bucket) — mixed traffic still
+works, it just forms one batch per shape.
+"""
+
+import argparse
+import io
+import queue
+import sys
+import threading
+from typing import Callable, Optional
+
+import numpy as np
+
+from .logger import logger
+
+
+class _Pending:
+    __slots__ = ("image", "event", "result", "error")
+
+    def __init__(self, image):
+        self.image = image
+        self.event = threading.Event()
+        self.result = None
+        self.error: Optional[BaseException] = None
+
+
+class BatchingDenoiser:
+    """Groups concurrent single-image requests into device batches.
+
+    ``denoiser``: any callable taking uint8 [B, H, W, C] → [B, H, W, C]
+    (e.g. ``bid.load_model(...)``).
+    """
+
+    def __init__(self, denoiser: Callable, max_batch: int = 32,
+                 max_wait_ms: float = 5.0):
+        self._denoiser = denoiser
+        self._max_batch = int(max_batch)
+        self._max_wait = float(max_wait_ms) / 1e3
+        self._q: "queue.Queue[_Pending]" = queue.Queue()
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def close(self):
+        self._stop.set()
+
+    def __call__(self, image: np.ndarray) -> np.ndarray:
+        """image: uint8 [H, W, C]; blocks until the batch containing it
+        has been denoised."""
+        p = _Pending(np.asarray(image))
+        self._q.put(p)
+        p.event.wait()
+        if p.error is not None:
+            raise p.error
+        return p.result
+
+    # ---- batcher thread --------------------------------------------------
+
+    def _collect(self):
+        """One batch of same-shape requests (first request's shape wins;
+        others are re-queued for the next round)."""
+        try:
+            first = self._q.get(timeout=0.2)
+        except queue.Empty:
+            return None
+        batch = [first]
+        requeue = []
+        deadline = self._max_wait
+        import time
+        t0 = time.monotonic()
+        while len(batch) < self._max_batch:
+            remaining = deadline - (time.monotonic() - t0)
+            if remaining <= 0:
+                break
+            try:
+                p = self._q.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if p.image.shape == first.image.shape:
+                batch.append(p)
+            else:
+                requeue.append(p)
+        for p in requeue:
+            self._q.put(p)
+        return batch
+
+    def _run(self):
+        while not self._stop.is_set():
+            batch = self._collect()
+            if not batch:
+                continue
+            try:
+                stacked = np.stack([p.image for p in batch], axis=0)
+                out = np.asarray(self._denoiser(stacked))
+                for i, p in enumerate(batch):
+                    p.result = out[i]
+            except BaseException as e:  # deliver the failure to callers
+                for p in batch:
+                    p.error = e
+            finally:
+                for p in batch:
+                    p.event.set()
+
+
+# ---- stdlib HTTP endpoint ------------------------------------------------
+
+def _make_handler(batcher: BatchingDenoiser):
+    from http.server import BaseHTTPRequestHandler
+    from PIL import Image
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # route through our logger
+            logger.info("serving: " + fmt % args)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                body = b"ok"
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self.send_error(404)
+
+        def do_POST(self):
+            if self.path != "/denoise":
+                self.send_error(404)
+                return
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                img = Image.open(io.BytesIO(self.rfile.read(n))).convert("RGB")
+                out = batcher(np.asarray(img, np.uint8))
+                buf = io.BytesIO()
+                Image.fromarray(out).save(buf, format="PNG")
+                body = buf.getvalue()
+                self.send_response(200)
+                self.send_header("Content-Type", "image/png")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            except Exception as e:
+                logger.warning(f"serving error: {e}")
+                self.send_error(400, str(e))
+
+    return Handler
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description="batched denoising server")
+    parser.add_argument("--model", required=True,
+                        help="registry name or artifact directory")
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", default=8000, type=int)
+    parser.add_argument("--max-batch", default=32, type=int)
+    parser.add_argument("--max-wait-ms", default=5.0, type=float)
+    parser.add_argument("--platform", default=None,
+                        help="force a jax platform (the TPU plugin ignores "
+                             "JAX_PLATFORMS)")
+    args = parser.parse_args(argv)
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+    import blind_image_denoising_tpu as bid
+    from http.server import ThreadingHTTPServer
+
+    batcher = BatchingDenoiser(bid.load_model(args.model),
+                               max_batch=args.max_batch,
+                               max_wait_ms=args.max_wait_ms)
+    server = ThreadingHTTPServer((args.host, args.port),
+                                 _make_handler(batcher))
+    logger.info(f"serving {args.model} on {args.host}:{args.port}")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        batcher.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

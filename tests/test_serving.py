@@ -1,0 +1,110 @@
+"""Serving frontend tests: micro-batching semantics + the HTTP endpoint.
+
+The reference has no serving layer; this covers the new TPU-native
+capability (serving.py)."""
+
+import io
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from blind_image_denoising_tpu.serving import BatchingDenoiser
+
+
+class _RecordingDenoiser:
+    """Identity 'model' that records the batch sizes it was called with."""
+
+    def __init__(self):
+        self.batch_sizes = []
+        self.lock = threading.Lock()
+
+    def __call__(self, batch):
+        with self.lock:
+            self.batch_sizes.append(batch.shape[0])
+        return batch + 1  # visible transformation
+
+
+def test_batching_groups_concurrent_requests():
+    model = _RecordingDenoiser()
+    b = BatchingDenoiser(model, max_batch=8, max_wait_ms=50.0)
+    try:
+        imgs = [np.full((8, 8, 3), i, np.uint8) for i in range(8)]
+        results = [None] * 8
+
+        def call(i):
+            results[i] = b(imgs[i])
+
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for i, r in enumerate(results):
+            np.testing.assert_array_equal(r, imgs[i] + 1)
+        # concurrency actually batched: fewer calls than requests
+        assert sum(model.batch_sizes) == 8
+        assert len(model.batch_sizes) < 8
+    finally:
+        b.close()
+
+
+def test_batching_mixed_shapes_and_errors():
+    model = _RecordingDenoiser()
+    b = BatchingDenoiser(model, max_batch=4, max_wait_ms=20.0)
+    try:
+        a = b(np.zeros((8, 8, 3), np.uint8))
+        c = b(np.zeros((16, 8, 3), np.uint8))
+        assert a.shape == (8, 8, 3) and c.shape == (16, 8, 3)
+    finally:
+        b.close()
+
+    def broken(batch):
+        raise RuntimeError("device on fire")
+
+    b2 = BatchingDenoiser(broken, max_batch=2, max_wait_ms=5.0)
+    try:
+        with pytest.raises(RuntimeError, match="device on fire"):
+            b2(np.zeros((4, 4, 3), np.uint8))
+    finally:
+        b2.close()
+
+
+def test_http_endpoint_roundtrip():
+    from http.server import ThreadingHTTPServer
+    from PIL import Image
+    from blind_image_denoising_tpu.serving import _make_handler
+
+    model = _RecordingDenoiser()
+    batcher = BatchingDenoiser(model, max_batch=4, max_wait_ms=5.0)
+    server = ThreadingHTTPServer(("127.0.0.1", 0), _make_handler(batcher))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=10) as r:
+            assert r.read() == b"ok"
+
+        img = np.random.default_rng(0).integers(0, 200, (12, 10, 3), np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, format="PNG")
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/denoise", data=buf.getvalue(),
+            method="POST")
+        with urllib.request.urlopen(req, timeout=30) as r:
+            out = np.asarray(Image.open(io.BytesIO(r.read())))
+        np.testing.assert_array_equal(out, img + 1)
+
+        # malformed body → 400, server stays alive
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/denoise", data=b"junk", method="POST")
+        with pytest.raises(urllib.error.HTTPError):
+            urllib.request.urlopen(bad, timeout=10)
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=10) as r:
+            assert r.read() == b"ok"
+    finally:
+        server.shutdown()
+        batcher.close()
