@@ -14,7 +14,10 @@ configs/README.md:17 and README.md:173-185 reference but whose implementation
 is missing from the reference snapshot: it penalizes kernel mass near the
 spatial center of the kernel, incentivizing wider effective receptive
 fields. Implemented from that spec (documented deviation: no reference code
-exists to compare against).
+exists to compare against). Coefficient scale validated against the
+reference's own experiment configs (configs/old/*erf*.json all use
+{"type": "erf", "config": {"l1_coefficient": 0.025, "l2_coefficient":
+0.0}} — exactly this module's defaults, and the dict form parses directly).
 """
 
 from collections.abc import Mapping
