@@ -20,6 +20,7 @@ import flax.linen as nn
 from ..constants import DEFAULT_EPSILON
 from ..ops.resize import resize_bilinear
 from .conv import ConvBlock
+from .norm import FastLayerNorm
 from .convnext import soft_ortho_spec
 from .multipliers import ChannelLearnableMultiplier
 
@@ -73,8 +74,8 @@ class AdditiveAttentionGate(nn.Module):
                                  use_bias=self.use_bias,
                                  dtype=self.dtype, name=f"bn_{name}")(v)
             if self.use_ln:
-                v = nn.LayerNorm(use_bias=self.use_bias,
-                                 dtype=self.dtype, name=f"ln_{name}")(v)
+                v = FastLayerNorm(use_bias=self.use_bias,
+                                  dtype=self.dtype, name=f"ln_{name}")(v)
             return v
 
         y = norm(encoder_feature, "y")
@@ -135,8 +136,8 @@ class ConvolutionalSelfAttention(nn.Module):
                              use_bias=self.bn_center,
                              dtype=self.dtype, name="bn")(x)
         if self.use_ln:
-            x = nn.LayerNorm(use_bias=self.bn_center,
-                             dtype=self.dtype, name="ln")(x)
+            x = FastLayerNorm(use_bias=self.bn_center,
+                              dtype=self.dtype, name="ln")(x)
 
         def qkv(name):
             return ConvBlock(

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from .activations import Activation
 from .conv import ConvBlock, DenseBlock, conv_block_from_params
 from .multipliers import ChannelwiseMultiplier, Multiplier
+from .norm import FastLayerNorm
 from .selector import SelectorBlock
 from .stochastic import RandomOnOff
 from ..ops.normalize import local_normalization
@@ -109,9 +110,10 @@ class ResnetBlocks(nn.Module):
                 x_first = x
 
             if self.ln_after_first_conv:
-                x = nn.LayerNorm(use_bias=False, use_scale=True,
-                                 epsilon=DEFAULT_LN_EPSILON,
-                                 name=f"block_{i}_ln")(x)
+                x = FastLayerNorm(use_bias=False, use_scale=True,
+                                  epsilon=DEFAULT_LN_EPSILON,
+                                  dtype=self.dtype,
+                                  name=f"block_{i}_ln")(x)
                 x_first = x
 
             gate_signal = x_first

@@ -33,6 +33,7 @@ from ..constants import (
     DEFAULT_RELU_BIAS,
 )
 from ..ops import regularizers as reg_ops
+from .norm import FastLayerNorm
 from .activations import Activation
 
 RegularizerSpec = Union[None, str, dict, list]
@@ -195,7 +196,7 @@ class ConvBlock(nn.Module):
                 dtype=self.dtype,
                 name="bn")(y)
         if self.use_ln:
-            y = nn.LayerNorm(
+            y = FastLayerNorm(
                 epsilon=DEFAULT_LN_EPSILON,
                 use_bias=self.bn_center,
                 use_scale=True,

@@ -37,6 +37,7 @@ from ..layers.conv import conv_block_from_params
 from ..layers.convnext import ConvNextBlock
 from ..layers.misc import GaussianFilter
 from ..layers.multipliers import ChannelLearnableMultiplier
+from ..layers.norm import FastLayerNorm
 from ..layers.sampling import Downsample, Upsample
 from ..layers.stochastic import StochasticDepth
 from ..ops.pallas_pyramid import laplacian_band_smooth, on_tpu
@@ -157,8 +158,9 @@ class UnetLaplacianBackbone(nn.Module):
                                  use_bias=use_bias, dtype=self.dtype,
                                  name=f"{name}_bn")(v)
             if use_ln:
-                v = nn.LayerNorm(epsilon=DEFAULT_LN_EPSILON, use_bias=use_bias,
-                                 dtype=self.dtype, name=f"{name}_ln")(v)
+                v = FastLayerNorm(epsilon=DEFAULT_LN_EPSILON,
+                                  use_bias=use_bias,
+                                  dtype=self.dtype, name=f"{name}_ln")(v)
             return v
 
         def residual_stage(v, d, name_prefix, kernel_override=None,

@@ -205,3 +205,35 @@ def test_logit_norm_unit_scale():
     y = np.asarray(L.logit_norm(x))
     norms = np.linalg.norm(y, axis=-1)
     np.testing.assert_allclose(norms, 1.0, atol=1e-2)
+
+
+def test_fast_layer_norm_matches_flax():
+    """FastLayerNorm ≡ nn.LayerNorm in f32 (tolerance: float assoc) and
+    close in bf16; param names interchangeable with flax checkpoints."""
+    import flax.linen as nn
+    from blind_image_denoising_tpu.layers.norm import FastLayerNorm
+
+    x = jnp.asarray(np.random.default_rng(0)
+                    .normal(0, 3, (2, 8, 8, 32)).astype(np.float32))
+    for use_bias in (False, True):
+        ours = FastLayerNorm(epsilon=1e-6, use_scale=True, use_bias=use_bias)
+        ref = nn.LayerNorm(epsilon=1e-6, use_scale=True, use_bias=use_bias)
+        v_ours = ours.init(jax.random.PRNGKey(0), x)
+        v_ref = ref.init(jax.random.PRNGKey(0), x)
+        assert (jax.tree_util.tree_structure(v_ours)
+                == jax.tree_util.tree_structure(v_ref))
+        # non-trivial params exercise the scale/bias paths
+        v = jax.tree_util.tree_map(
+            lambda a: a + jnp.arange(a.size, dtype=a.dtype).reshape(a.shape)
+            * 0.01, v_ref)
+        np.testing.assert_allclose(
+            np.asarray(ours.apply(v, x)), np.asarray(ref.apply(v, x)),
+            rtol=1e-5, atol=1e-5)
+
+    # bf16: stays close to the f32 result
+    ours16 = FastLayerNorm(epsilon=1e-6, dtype=jnp.bfloat16)
+    v = ours16.init(jax.random.PRNGKey(1), x)
+    y16 = np.asarray(ours16.apply(v, x)).astype(np.float32)
+    y32 = np.asarray(FastLayerNorm(epsilon=1e-6).apply(v, x))
+    assert np.abs(y16 - y32).max() < 0.05
+    assert ours16.apply(v, x).dtype == jnp.bfloat16
