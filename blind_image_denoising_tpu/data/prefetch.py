@@ -11,7 +11,6 @@ import queue
 import threading
 from typing import Iterable, Iterator, Optional
 
-import jax
 import numpy as np
 
 
@@ -28,7 +27,12 @@ def device_prefetch(iterable: Iterable, sharding=None,
     Lossless whenever the training pipeline rounds inputs anyway
     (``dataset.round_values``, the reference default — dataset.py:228);
     the train step casts back to float32 on device.
+
+    Multi-host: when ``jax.process_count() > 1`` each host's batch is one
+    process-local shard of the GLOBAL batch and is assembled into a global
+    array (parallel/multihost.put_batch) instead of device_put.
     """
+    from ..parallel.multihost import put_batch
     q: "queue.Queue" = queue.Queue(maxsize=prefetch)
     _END = object()
     stop = threading.Event()
@@ -53,7 +57,7 @@ def device_prefetch(iterable: Iterable, sharding=None,
                 if transfer_dtype is not None:
                     item = np.clip(np.round(item), 0, 255).astype(
                         transfer_dtype)
-                arr = jax.device_put(np.ascontiguousarray(item), sharding)
+                arr = put_batch(sharding, np.ascontiguousarray(item))
                 if not _put(arr):
                     break
             _put(_END)

@@ -26,9 +26,33 @@ def main(argv=None) -> int:
     parser.add_argument(
         "--platform", default=None, type=str,
         help="force a jax platform (e.g. cpu)")
+    # multi-host launch (one process per host; see parallel/multihost.py):
+    #   python -m …train --coordinator-address host0:1234 \
+    #       --num-processes 4 --process-id $RANK …
+    parser.add_argument(
+        "--coordinator-address", default=None, type=str,
+        help="host:port of process 0 — enables multi-host training")
+    parser.add_argument(
+        "--num-processes", default=None, type=int,
+        help="total number of processes in the multi-host job")
+    parser.add_argument(
+        "--process-id", default=None, type=int,
+        help="this process's rank in [0, num_processes)")
+    parser.add_argument(
+        "--local-device-count", default=None, type=int,
+        help="simulate N host devices per process (testing only)")
     args = parser.parse_args(argv)
 
-    if getattr(args, "platform", None):
+    if args.coordinator_address is not None:
+        if args.num_processes is None or args.process_id is None:
+            logger.error("--coordinator-address requires --num-processes "
+                         "and --process-id")
+            return 1
+        from .parallel.multihost import initialize
+        initialize(args.coordinator_address, args.num_processes,
+                   args.process_id, platform=args.platform,
+                   local_device_count=args.local_device_count)
+    elif getattr(args, "platform", None):
         import jax
         jax.config.update("jax_platforms", args.platform)
 

@@ -18,11 +18,18 @@ from ..logger import logger
 
 
 class MetricsWriter:
-    def __init__(self, directory: str):
+    def __init__(self, directory: str, enabled: bool = True):
+        """``enabled=False`` turns every write into a no-op — used by
+        non-primary processes in multi-host training (parallel/multihost.py)
+        so only one process owns the JSONL/TensorBoard sinks."""
+        self._enabled = enabled
+        self._file = None
+        self._tb = None
+        if not enabled:
+            return
         os.makedirs(directory, exist_ok=True)
         self._path = os.path.join(directory, "metrics.jsonl")
         self._file = open(self._path, "a")
-        self._tb = None
         try:
             from torch.utils.tensorboard import SummaryWriter
             self._tb = SummaryWriter(log_dir=directory)
@@ -31,6 +38,8 @@ class MetricsWriter:
 
     def scalars(self, step: int, values: Dict[str, float],
                 prefix: str = ""):
+        if not self._enabled:
+            return
         rec = {"step": int(step), "time": time.time()}
         for k, v in values.items():
             key = f"{prefix}{k}" if prefix else k
@@ -60,6 +69,8 @@ class MetricsWriter:
         """Value-distribution histogram (reference train_loop.py:462-504
         error/noise histograms). Full histogram goes to TB; the JSONL
         record keeps a percentile summary."""
+        if not self._enabled:
+            return
         flat = np.asarray(values).ravel()
         if flat.size > max_samples:  # bound TB payload
             flat = flat[:: flat.size // max_samples + 1]
@@ -70,6 +81,7 @@ class MetricsWriter:
                             for q, v in zip((1, 25, 50, 75, 99), p)})
 
     def close(self):
-        self._file.close()
+        if self._file is not None:
+            self._file.close()
         if self._tb is not None:
             self._tb.close()

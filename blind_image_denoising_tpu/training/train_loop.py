@@ -52,19 +52,32 @@ def train_loop(
         checkpoint_directory: Union[str, Path],
         weights_directory: Union[str, Path, None] = None,
         total_steps_override: Optional[int] = None) -> TrainState:
+    from ..parallel import multihost
     config = load_config(pipeline_config)
 
     ckpt_dir = Path(str(checkpoint_directory))
     ckpt_dir.mkdir(parents=True, exist_ok=True)
-    save_config(config, os.path.join(str(ckpt_dir), "config.json"))
+    if multihost.is_primary():
+        save_config(config, os.path.join(str(ckpt_dir), "config.json"))
 
     train_config = config["train"]
     dataset_config = config["dataset"]
     tpu_config = config.get("tpu", {})
 
-    # --- dataset
+    # --- dataset. Multi-host: config batch_size is the GLOBAL batch; each
+    # process decodes 1/Nth (a disjoint file shard — dataset_builder calls
+    # shard_files_for_process) and the shards are assembled into global
+    # arrays at prefetch time (parallel/multihost.put_batch).
+    n_proc = multihost.process_count()
+    batch_size = int(dataset_config["batch_size"])
+    if n_proc > 1:
+        if batch_size % n_proc:
+            raise ValueError(
+                f"global batch_size {batch_size} not divisible by "
+                f"{n_proc} processes")
+        dataset_config = dict(dataset_config,
+                              batch_size=batch_size // n_proc)
     dataset = dataset_builder(dataset_config)
-    batch_size = dataset.batch_size
     input_shape = dataset.input_shape
 
     # --- loss / optimizer
@@ -148,12 +161,17 @@ def train_loop(
         train_config.get("deep_supervision", {"type": "linear_low_to_high"}),
         no_outputs=no_outputs)
 
-    # --- eval batch (packaged images, pow2-padded 512²)
+    # --- eval batch (packaged images, pow2-padded 512²), replicated onto
+    # the mesh (a global array in multi-host so it can meet the global
+    # train-state inside eval_step)
+    from ..parallel.mesh import replicate_sharding
     use_test_images = train_config.get("use_test_images", True)
-    eval_batch = jnp.asarray(load_evaluation_images(512)) \
+    eval_batch = multihost.replicate(
+        replicate_sharding(mesh),
+        np.asarray(load_evaluation_images(512), np.float32)) \
         if use_test_images else None
 
-    writer = MetricsWriter(str(ckpt_dir))
+    writer = MetricsWriter(str(ckpt_dir), enabled=multihost.is_primary())
     import json as _json
     writer.text(0, "config", _json.dumps(config, indent=2))
 
@@ -232,7 +250,10 @@ def train_loop(
             pct_done = min(1.0, int(state.step) / float(total_steps))
         else:
             pct_done = 0.0
-        depth_weights = jnp.asarray(ds_schedule(pct_done), jnp.float32)
+        # numpy, not jnp: numpy inputs are placed by the jit's in_shardings
+        # on every process, which is the multi-host-safe path for
+        # replicated host values
+        depth_weights = np.asarray(ds_schedule(pct_done), np.float32)
         logger.info(f"epoch {epoch}: deep-supervision weights "
                     f"{np.round(np.asarray(depth_weights), 3).tolist()}")
 
@@ -256,8 +277,8 @@ def train_loop(
             if (total_steps > 0 and steps_since_print_or_refresh(host_step)
                     and (repeat_stream or epochs in (-1, 0))):
                 pct_done = min(1.0, host_step / float(total_steps))
-                depth_weights = jnp.asarray(ds_schedule(pct_done),
-                                            jnp.float32)
+                depth_weights = np.asarray(ds_schedule(pct_done),
+                                           np.float32)
 
             if profile_at > 0 and host_step + 1 == profile_at:
                 # one-shot device trace of a REGULAR training step
