@@ -90,12 +90,15 @@ for _root in _search_dirs:
             }
 
 
-def load_model(name_or_path):
+def load_model(name_or_path, quant: bool = False):
     """Load a pretrained denoiser by registry name or artifact directory
     path (reference __init__.py:81-97). Supports both native exported
     artifacts (params.msgpack + pipeline.json) and reference-style
     directories shipping a denoiser_model.tflite (executed as a jitted JAX
-    graph, inference/tflite.py)."""
+    graph, inference/tflite.py).
+
+    ``quant=True`` serves a native artifact's int8 path using its shipped
+    calibration scales (export with --quantize; docs/QUANTIZATION.md)."""
     from .inference.export import load_exported_model
 
     path = (models[name_or_path]["directory"] if name_or_path in models
@@ -105,7 +108,11 @@ def load_model(name_or_path):
             f"[{name_or_path}] is neither a known pretrained model "
             f"({sorted(models)}) nor an artifact directory")
     if _os.path.isfile(_os.path.join(path, "params.msgpack")):
-        return load_exported_model(path)
+        return load_exported_model(path, quant=quant)
+    if quant:
+        raise ValueError(
+            f"quant=True needs a native exported artifact with "
+            f"quant.msgpack; [{path}] has no params.msgpack")
     keras_path = _os.path.join(path, "model_hydra.keras")
     if _os.path.isfile(keras_path):
         # native import of the reference pretrained weights (float32, runs

@@ -19,6 +19,11 @@ def main(argv=None) -> int:
                         action="store_false")
     parser.add_argument("--test-model", action="store_true",
                         help="run an inference self-test after export")
+    parser.add_argument("--quantize", action="store_true",
+                        help="calibrate + ship int8 activation scales "
+                             "(quant.msgpack) — the native analog of the "
+                             "reference's int8 TFLite export; see "
+                             "docs/QUANTIZATION.md")
     parser.add_argument("--platform", default=None, type=str,
                         help="force a jax platform (e.g. cpu)")
     args = parser.parse_args(argv)
@@ -32,7 +37,8 @@ def main(argv=None) -> int:
         checkpoint_directory=args.checkpoint_directory,
         output_directory=args.output_directory,
         to_stablehlo=args.to_stablehlo,
-        test_model=args.test_model)
+        test_model=args.test_model,
+        quantize=args.quantize)
     return 0
 
 

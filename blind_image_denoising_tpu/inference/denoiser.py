@@ -38,7 +38,8 @@ class Denoiser:
     def __init__(self, model, variables, cast_to_uint8: bool = True,
                  pad_mode: str = "multiple", pad_multiple: int = 64,
                  tile_rows: int = 0, tile_halo: int = 64,
-                 mesh=None, spatial_margin: int = 0):
+                 mesh=None, spatial_margin: int = 0,
+                 quant: bool = False):
         self._model = model
         self._variables = variables
         self._cast = cast_to_uint8
@@ -46,14 +47,28 @@ class Denoiser:
         self._pad_multiple = int(pad_multiple)
         self._tile_rows = int(tile_rows)
         self._tile_halo = int(tile_halo)
+        if quant and "quant" not in variables:
+            raise ValueError(
+                "quant=True needs calibrated scales — run "
+                "inference.quantize.calibrate(model, variables, images) "
+                "and pass its result as variables")
+
+        def apply_fn(v, x):
+            # the quant context wraps the apply itself so the jitted
+            # closure TRACES under the int8 mode it serves
+            # (ops/quant.py — the mode is trace-time)
+            if quant:
+                from ..ops.quant import quant_mode
+                with quant_mode("int8"):
+                    return model.apply(v, x, train=False)[0]
+            return model.apply(v, x, train=False)[0]
+
         if mesh is not None and mesh.shape.get("spatial", 1) > 1:
             self._forward = denoise_spatially_sharded(
-                lambda v, x: model.apply(v, x, train=False)[0],
-                variables, mesh, spatial_margin)
+                apply_fn, variables, mesh, spatial_margin)
             self._jitted_e2e = None
         else:
-            self._forward = jax.jit(
-                lambda x: model.apply(variables, x, train=False)[0])
+            self._forward = jax.jit(lambda x: apply_fn(variables, x))
             # whole serving pipeline (widen → pad/tile → forward → unpad →
             # round/clip → cast) as ONE jitted program per input shape:
             # the epilogue fuses into the forward instead of running as

@@ -29,6 +29,7 @@ from .denoiser import Denoiser
 
 PARAMS_FILE = "params.msgpack"
 CONFIG_FILE = "pipeline.json"
+QUANT_FILE = "quant.msgpack"
 STABLEHLO_FILE = "denoiser.stablehlo"
 
 
@@ -38,8 +39,17 @@ def export_model(
         output_directory: Union[str, Path],
         to_stablehlo: bool = True,
         test_model: bool = False,
-        reference_shape=(1, 256, 256, 3)) -> str:
-    """Restore the latest checkpoint and write a standalone artifact dir."""
+        reference_shape=(1, 256, 256, 3),
+        quantize: bool = False,
+        calibration_images=None) -> str:
+    """Restore the latest checkpoint and write a standalone artifact dir.
+
+    ``quantize``: additionally calibrate int8 activation scales (on
+    ``calibration_images`` or the packaged noise-sweep set) and ship them
+    as ``quant.msgpack`` — the native analog of the reference's int8
+    TFLite export (its export pipeline runs TFLite PTQ with a
+    representative dataset). See docs/QUANTIZATION.md for the measured
+    quality/throughput trade."""
     from ..training.checkpoint import CheckpointManager
     from ..training.train_state import create_train_state
     from ..training.optimizer import optimizer_builder
@@ -70,6 +80,17 @@ def export_model(
         f.write(flax.serialization.to_bytes(variables))
     save_config(config, str(out_dir / CONFIG_FILE))
     logger.info(f"wrote {out_dir / PARAMS_FILE}")
+
+    if quantize:
+        from .quantize import calibrate, default_calibration_images
+        if calibration_images is None:
+            size = int(shape[0]) if shape[0] not in (None, "?") else 256
+            calibration_images = default_calibration_images(
+                size=min(256, size if size > 0 else 256))
+        qvars = calibrate(results.hydra, variables, calibration_images)
+        with open(out_dir / QUANT_FILE, "wb") as f:
+            f.write(flax.serialization.msgpack_serialize(qvars["quant"]))
+        logger.info(f"wrote {out_dir / QUANT_FILE}")
 
     if to_stablehlo:
         try:
@@ -107,11 +128,30 @@ def save_params_artifact(params, config: dict,
     return str(out)
 
 
+def _load_quant_scales(directory: Path, quant) -> Optional[dict]:
+    """The artifact's int8 scales: required when ``quant=True``, attached
+    opportunistically when ``quant='auto'`` is extended later."""
+    path = directory / QUANT_FILE
+    if not quant:
+        return None
+    if not path.exists():
+        raise ValueError(
+            f"quant=True but [{path}] missing — re-export with "
+            f"quantize=True (or --quantize on the export CLI)")
+    with open(path, "rb") as f:
+        return flax.serialization.msgpack_restore(f.read())
+
+
 def load_exported_model(directory: Union[str, Path],
-                        cast_to_uint8: bool = True) -> Denoiser:
-    """Load an exported artifact directory into a ready Denoiser."""
+                        cast_to_uint8: bool = True,
+                        quant: bool = False) -> Denoiser:
+    """Load an exported artifact directory into a ready Denoiser.
+
+    ``quant=True`` serves the artifact's int8 path using the calibrated
+    scales shipped in ``quant.msgpack`` (docs/QUANTIZATION.md)."""
     directory = Path(str(directory))
     config = load_config(str(directory / CONFIG_FILE))
+    quant_scales = _load_quant_scales(directory, quant)
 
     # special model families not buildable from the standard hydra config
     if config.get("model", {}).get("type") == "unet_laplacian_v56":
@@ -125,7 +165,10 @@ def load_exported_model(directory: Union[str, Path],
             lambda a: jnp.zeros(a.shape, a.dtype), template)
         with open(directory / PARAMS_FILE, "rb") as f:
             variables = flax.serialization.from_bytes(template, f.read())
-        return Denoiser(model, variables, cast_to_uint8=cast_to_uint8)
+        if quant_scales is not None:
+            variables = dict(variables, quant=quant_scales)
+        return Denoiser(model, variables, cast_to_uint8=cast_to_uint8,
+                        quant=quant)
 
     results = model_builder(config["model"])
 
@@ -141,4 +184,7 @@ def load_exported_model(directory: Union[str, Path],
                 if k in ("params", "batch_stats")}
     with open(directory / PARAMS_FILE, "rb") as f:
         variables = flax.serialization.from_bytes(template, f.read())
-    return Denoiser(results.hydra, variables, cast_to_uint8=cast_to_uint8)
+    if quant_scales is not None:
+        variables = dict(variables, quant=quant_scales)
+    return Denoiser(results.hydra, variables, cast_to_uint8=cast_to_uint8,
+                    quant=quant)

@@ -33,6 +33,7 @@ from ..constants import (
     DEFAULT_RELU_BIAS,
 )
 from ..ops import regularizers as reg_ops
+from ..ops import quant as quant_ops
 from .norm import FastLayerNorm
 from .activations import Activation
 
@@ -164,23 +165,25 @@ class ConvBlock(nn.Module):
                 padding="SAME", dimension_numbers=_DIMENSION_NUMBERS)
             out_features = self.features
         elif self.depth_multiplier is not None:
+            # int8 PTQ hooks live in quant_ops.conv2d: under the
+            # quant_mode('calibrate'/'int8') trace-time context this conv
+            # records its input scale / runs int8 x int8 -> int32 on the
+            # MXU (transpose/separable above keep the float path)
             m = int(self.depth_multiplier)
             kernel = self._conv_param("kernel", (kh, kw, 1, in_features * m))
-            y = lax.conv_general_dilated(
-                x.astype(compute_dtype), kernel.astype(compute_dtype),
-                window_strides=strides, padding=self.padding,
-                dimension_numbers=_DIMENSION_NUMBERS,
-                feature_group_count=in_features)
+            y = quant_ops.conv2d(self, "in", x, kernel,
+                                 strides=strides, padding=self.padding,
+                                 groups=in_features,
+                                 compute_dtype=compute_dtype)
             out_features = in_features * m
         else:
             groups = max(1, int(self.groups))
             kernel = self._conv_param(
                 "kernel", (kh, kw, in_features // groups, self.features))
-            y = lax.conv_general_dilated(
-                x.astype(compute_dtype), kernel.astype(compute_dtype),
-                window_strides=strides, padding=self.padding,
-                dimension_numbers=_DIMENSION_NUMBERS,
-                feature_group_count=groups)
+            y = quant_ops.conv2d(self, "in", x, kernel,
+                                 strides=strides, padding=self.padding,
+                                 groups=groups,
+                                 compute_dtype=compute_dtype)
             out_features = self.features
 
         if self.use_bias:

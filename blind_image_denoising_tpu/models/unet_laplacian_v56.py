@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from ..ops import quant as quant_ops
 from ..ops.gaussian import gaussian_blur
 from ..ops.normalize import denormalize, normalize
 from ..ops.resize import upsample_2x_bilinear
@@ -41,6 +42,14 @@ def _conv(x, kernel, groups=1):
         x, kernel, (1, 1), "SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups)
+
+
+def _qconv(module, site, x, kernel, groups=1):
+    """Convolution with int8 PTQ hooks (ops/quant.py conv2d): float by
+    default; records/uses the site's activation scale under
+    quant_mode('calibrate'/'int8')."""
+    return quant_ops.conv2d(module, site, x, kernel, groups=groups,
+                            compute_dtype=jnp.float32)
 
 
 class _LN(nn.Module):
@@ -76,14 +85,14 @@ class _ConvNextV56(nn.Module):
         c, k = self.features, self.dw_kernel
         dw = self.param("conv_1", nn.initializers.glorot_normal(),
                         (k, k, 1, c))
-        y = _conv(x, dw, groups=c)
+        y = _qconv(self, "dw", x, dw, groups=c)
         y = _LN(c, name="ln")(y)
         w2 = self.param("conv_2", nn.initializers.glorot_normal(),
                         (1, 1, c, 4 * c))
-        y = jax.nn.gelu(_conv(y, w2), approximate=False)
+        y = jax.nn.gelu(_qconv(self, "expand", y, w2), approximate=False)
         w3 = self.param("conv_3", nn.initializers.glorot_normal(),
                         (1, 1, 4 * c, c))
-        y = _conv(y, w3)
+        y = _qconv(self, "project", y, w3)
         return _Gamma(c, name="gamma")(y)
 
 
@@ -102,7 +111,8 @@ class _AttentionV56(nn.Module):
         def qkv(name):
             k = self.param(name, nn.initializers.glorot_normal(),
                            (1, 1, c, ca))
-            return jax.nn.gelu(_conv(y, k),
+            # the three projections consume the same tensor -> shared site
+            return jax.nn.gelu(_qconv(self, "qkv", y, k),
                                approximate=False).reshape(b, h * w, ca)
 
         q = qkv("query_conv")
@@ -119,7 +129,7 @@ class _AttentionV56(nn.Module):
         a = _LN(ca, name="ln_1")(a)
         wo = self.param("output_fn", nn.initializers.glorot_normal(),
                         (1, 1, ca, c))
-        return _Gamma(c, name="gamma")(_conv(a, wo))
+        return _Gamma(c, name="gamma")(_qconv(self, "out", a, wo))
 
 
 class UnetLaplacianV56(nn.Module):
@@ -139,7 +149,7 @@ class UnetLaplacianV56(nn.Module):
 
         stem = self.param("stem", nn.initializers.glorot_normal(),
                           (5, 5, 3, f))
-        h = _leaky(_conv(xn, stem))
+        h = _leaky(_qconv(self, "stem", xn, stem))
 
         skips: Dict[int, jnp.ndarray] = {}
         channels = {0: f, 1: 2 * f, 2: 4 * f}
@@ -154,7 +164,8 @@ class UnetLaplacianV56(nn.Module):
             skips[d] = h - smooth
             down_k = self.param(f"down_{d}", nn.initializers.glorot_normal(),
                                 (1, 1, c, channels[d + 1]))
-            h = _leaky(_conv(smooth[:, ::2, ::2, :], down_k))
+            h = _leaky(_qconv(self, f"down_{d}", smooth[:, ::2, ::2, :],
+                              down_k))
 
         # --- bottleneck: width× residual full-res attention
         for wdt in range(self.width):
@@ -168,7 +179,8 @@ class UnetLaplacianV56(nn.Module):
             c = channels[d]
             up_k = self.param(f"up_{d}", nn.initializers.glorot_normal(),
                               (1, 1, channels[d + 1], c))
-            v = upsample_2x_bilinear(_conv(decoded[d + 1], up_k)) + skips[d]
+            v = upsample_2x_bilinear(
+                _qconv(self, f"up_{d}", decoded[d + 1], up_k)) + skips[d]
             for wdt in range(self.width):
                 v = v + _ConvNextV56(c, 1, name=f"dec_{d}_{wdt}")(v)
             decoded[d] = v
@@ -178,10 +190,10 @@ class UnetLaplacianV56(nn.Module):
             z = _LN(c, name=f"out_ln_{idx}")(z)
             w0 = self.param(f"head_{idx}_conv_0",
                             nn.initializers.glorot_normal(), (1, 1, c, f))
-            z = _leaky(_conv(z, w0))
+            z = _leaky(_qconv(self, f"head_{idx}_0", z, w0))
             w1 = self.param(f"head_{idx}_conv_1",
                             nn.initializers.glorot_normal(), (1, 1, f, 3))
-            z = jnp.tanh(2.0 * _conv(z, w1)) * 0.51
+            z = jnp.tanh(2.0 * _qconv(self, f"head_{idx}_1", z, w1)) * 0.51
             return denormalize(z, 0.0, 255.0)
 
         if not all_scales:
