@@ -335,6 +335,23 @@ def train_loop(
                 pending_metrics = None
 
         state = state.replace(epoch=state.epoch + 1)
+
+        # optional per-epoch weight pruning (train.prune). The reference
+        # ships the pruning strategies but never invokes them from its
+        # loop (its pruning.py is orphaned); here the documented config
+        # schema actually works: prune on the host, continue training.
+        prune_cfg = train_config.get("prune")
+        if prune_cfg and prune_cfg.get("strategy", "NONE") != "NONE" \
+                and int(state.epoch) % int(prune_cfg.get(
+                    "every_epochs", 1)) == 0:
+            from ..pruning import prune_function_builder, prune_params
+            from ..parallel.multihost import to_host
+            pruned = prune_params(to_host(state.params),
+                                  prune_function_builder(prune_cfg))
+            state = state.replace(params=pruned)
+            logger.info(f"epoch {int(state.epoch)}: pruned weights "
+                        f"({prune_cfg.get('strategy')})")
+
         manager.save(state, force=True)
     finally:
         # always checkpoint/flush/restore handlers — including when a

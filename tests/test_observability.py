@@ -130,3 +130,41 @@ def test_gradient_figures_logged_in_train_loop(tmp_path):
         keys.update(rec)
     assert any(k.startswith("gradients/") and k.endswith("/p50")
                for k in keys), sorted(keys)
+
+
+def test_per_epoch_pruning_in_train_loop(tmp_path):
+    """train.prune actually prunes at epoch end (the reference documents
+    the schema but its loop never invokes pruning)."""
+    import flax
+    import numpy as np
+    from blind_image_denoising_tpu.training.train_loop import train_loop
+
+    cfg = {
+        "model": {"backbone": {
+            "type": "resnet", "input_shape": ["?", "?", 3], "filters": 4,
+            "no_layers": 1, "kernel_size": 3, "block_kernels": [3],
+            "block_filters": [4], "activation": "relu", "batchnorm": False,
+            "value_range": [0, 255], "kernel_regularizer": "l1",
+            "kernel_initializer": "glorot_normal"},
+            "denoiser": {"use_bias": False, "output_channels": 3}},
+        "train": {"epochs": 1, "total_steps": 2, "checkpoint_every": -1,
+                  "visualization_every": -1, "use_test_images": False,
+                  "prune": {"strategy": "MINIMUM_THRESHOLD",
+                            "config": {"minimum_threshold": 0.05}},
+                  "optimizer": {"type": "adam", "schedule": {
+                      "type": "cosine_decay", "config": {
+                          "learning_rate": 0.001, "decay_steps": 100}}}},
+        "loss": {"hinge": 0.0, "mae_multiplier": 1.0, "ssim_multiplier": -1.0},
+        "dataset": {"batch_size": 2, "input_shape": [16, 16, 3],
+                    "additional_noise": [1, 10], "inputs": []},
+    }
+    state = train_loop(cfg, tmp_path / "ckpt")
+    flat = flax.traverse_util.flatten_dict(state.params, sep="/")
+    kernels = [np.asarray(w) for p, w in flat.items()
+               if "kernel" in p and np.ndim(w) == 4]
+    assert kernels
+    # thresholding zeroed the small weights in every conv kernel
+    for w in kernels:
+        nz = w[w != 0]
+        assert nz.size == 0 or np.abs(nz).min() >= 0.05
+        assert (w == 0).any()
