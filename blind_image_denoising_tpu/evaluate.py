@@ -101,6 +101,9 @@ def main(argv=None) -> int:
     parser.add_argument("--size", default=256, type=int)
     parser.add_argument("--stds", default=None, type=str,
                         help="comma-separated noise stds")
+    parser.add_argument("--quant", action="store_true",
+                        help="evaluate the artifact's int8 path "
+                             "(needs quant.msgpack; docs/QUANTIZATION.md)")
     args = parser.parse_args(argv)
 
     if getattr(args, "platform", None):
@@ -108,7 +111,7 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", args.platform)
 
     import blind_image_denoising_tpu as bid
-    denoiser = bid.load_model(args.model)
+    denoiser = bid.load_model(args.model, quant=args.quant)
     images = load_eval_images(args.images, size=args.size)
     stds = ([float(s) for s in args.stds.split(",")] if args.stds
             else DEFAULT_STDS)

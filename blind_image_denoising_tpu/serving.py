@@ -172,6 +172,9 @@ def main(argv=None) -> int:
     parser.add_argument("--platform", default=None,
                         help="force a jax platform (the TPU plugin ignores "
                              "JAX_PLATFORMS)")
+    parser.add_argument("--quant", action="store_true",
+                        help="serve the artifact's int8 path "
+                             "(needs quant.msgpack; docs/QUANTIZATION.md)")
     args = parser.parse_args(argv)
 
     if args.platform:
@@ -181,7 +184,7 @@ def main(argv=None) -> int:
     import blind_image_denoising_tpu as bid
     from http.server import ThreadingHTTPServer
 
-    batcher = BatchingDenoiser(bid.load_model(args.model),
+    batcher = BatchingDenoiser(bid.load_model(args.model, quant=args.quant),
                                max_batch=args.max_batch,
                                max_wait_ms=args.max_wait_ms)
     server = ThreadingHTTPServer((args.host, args.port),

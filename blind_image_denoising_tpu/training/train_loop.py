@@ -312,7 +312,9 @@ def train_loop(
                 if pending_metrics is not None:
                     _process_metrics(*pending_metrics)
                     pending_metrics = None
-                _noise_sweep_eval(eval_step, state, eval_batch, writer, step)
+                _noise_sweep_eval(eval_step, state, eval_batch, writer, step,
+                                  max_images=int(train_config.get(
+                                      "visualization_number", 4)))
                 _weight_stats(state, writer, step)
                 _weight_figures(state, writer, step)
                 _gradient_figures(last_grad_stats, writer, step)
@@ -365,9 +367,12 @@ def train_loop(
 
 
 def _noise_sweep_eval(eval_step, state: TrainState, eval_batch: jnp.ndarray,
-                      writer: MetricsWriter, step: int):
+                      writer: MetricsWriter, step: int,
+                      max_images: int = 4):
     """Fixed-image sweep at std ∈ {0,20,40,60,80}
-    (reference train_loop.py:507-529)."""
+    (reference train_loop.py:507-529). Scalars/histograms use the whole
+    batch; image grids are capped at ``max_images`` (the reference's
+    train.visualization_number)."""
     key = jax.random.PRNGKey(0)
     for std in EVAL_NOISE_STDS:
         noisy = corrupt_batch_fixed_std(key, eval_batch, std=std) \
@@ -386,12 +391,13 @@ def _noise_sweep_eval(eval_step, state: TrainState, eval_batch: jnp.ndarray,
         # denoised grid at every sweep std (reference multi-std image
         # grids); noisy + error images once at a representative std
         writer.images(step, f"eval/denoised_noise_{int(std)}",
-                      np.asarray(denoised))
+                      np.asarray(denoised)[:max_images])
         if std == EVAL_NOISE_STDS[1]:
-            writer.images(step, "eval/noisy", np.asarray(noisy))
+            writer.images(step, "eval/noisy",
+                          np.asarray(noisy)[:max_images])
             # per-pixel error image, scaled to visible range
             writer.images(step, "eval/error",
-                          np.clip(np.abs(error) * 4.0, 0, 255))
+                          np.clip(np.abs(error[:max_images]) * 4.0, 0, 255))
 
 
 def _weight_figures(state: TrainState, writer: MetricsWriter, step: int):

@@ -93,7 +93,10 @@ def test_two_process_train(tmp_path):
                 q.kill()
             raise
         outs.append(out)
-        assert p.returncode == 0, f"rank {rank} failed:\n{out[-4000:]}"
+        (tmp_path / f"rank{rank}.log").write_text(out)  # post-mortem aid
+    for rank, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, \
+            f"rank {rank} failed (logs in {tmp_path}):\n{out[-4000:]}"
 
     # primary-only metrics sink: exactly one writer produced step records
     metrics = ckpt_dir / "metrics.jsonl"
