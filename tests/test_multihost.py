@@ -58,12 +58,9 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_train(tmp_path):
-    cfg_path = tmp_path / "config.json"
-    cfg_path.write_text(json.dumps(TINY_CONFIG))
-    ckpt_dir = tmp_path / "run"
+def _launch_two_ranks(cfg_path, ckpt_dir, tmp_path):
+    """Run both ranks to completion; returns (returncodes, outputs)."""
     port = _free_port()
-
     env = dict(os.environ)
     # each process picks its own virtual device count via
     # --local-device-count; drop the pytest session's 8-device XLA_FLAGS
@@ -94,8 +91,23 @@ def test_two_process_train(tmp_path):
             raise
         outs.append(out)
         (tmp_path / f"rank{rank}.log").write_text(out)  # post-mortem aid
-    for rank, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, \
+    return [p.returncode for p in procs], outs
+
+
+def test_two_process_train(tmp_path):
+    cfg_path = tmp_path / "config.json"
+    cfg_path.write_text(json.dumps(TINY_CONFIG))
+    ckpt_dir = tmp_path / "run"
+
+    rcs, outs = _launch_two_ranks(cfg_path, ckpt_dir, tmp_path)
+    if any(rcs):
+        # distributed init over localhost can flake under heavy machine
+        # load (coordinator timeout); one clean retry on a fresh port
+        import shutil
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+        rcs, outs = _launch_two_ranks(cfg_path, ckpt_dir, tmp_path)
+    for rank, (rc, out) in enumerate(zip(rcs, outs)):
+        assert rc == 0, \
             f"rank {rank} failed (logs in {tmp_path}):\n{out[-4000:]}"
 
     # primary-only metrics sink: exactly one writer produced step records

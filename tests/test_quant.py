@@ -176,3 +176,19 @@ def test_quant_load_requires_scales_file(tmp_path, calibrated):
     save_params_artifact(v["params"], cfg, tmp_path)
     with pytest.raises(ValueError, match="quant.msgpack"):
         load_exported_model(tmp_path, quant=True)
+
+
+def test_packaged_highnoise_quant_load():
+    """The shipped pretrained artifact carries calibrated int8 scales:
+    bid.load_model(name, quant=True) works out of the box."""
+    import blind_image_denoising_tpu as bid
+    if "unet_laplacian_v56_highnoise" not in bid.models:
+        pytest.skip("packaged pretrained artifact absent")
+    den = bid.load_model("unet_laplacian_v56_highnoise", quant=True)
+    img = np.random.default_rng(6).integers(0, 255, (48, 64, 3), np.uint8)
+    out = den(img)
+    assert out.shape == img.shape and out.dtype == np.uint8
+    # differs from the float path (int8 actually engaged)
+    den_f = bid.load_model("unet_laplacian_v56_highnoise")
+    assert np.abs(out.astype(np.float32) -
+                  den_f(img).astype(np.float32)).mean() > 0.0
