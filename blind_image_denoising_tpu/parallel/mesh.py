@@ -59,9 +59,20 @@ def batch_axes(mesh: Mesh):
     return tuple(a for a in ("dcn", "data") if a in mesh.shape)
 
 
-def data_sharding(mesh: Mesh) -> NamedSharding:
-    """Batch tensors: shard dim 0 over 'data' (and 'dcn' when present)."""
-    return NamedSharding(mesh, P(batch_axes(mesh)))
+def data_sharding(mesh: Mesh, spatial: bool = False) -> NamedSharding:
+    """Batch tensors: shard dim 0 over 'data' (and 'dcn' when present).
+
+    ``spatial=True`` additionally shards the H dimension (dim 1 of an
+    NHWC batch) over the 'spatial' axis — spatially-parallel TRAINING on
+    crops larger than one chip's HBM. GSPMD partitions the convolutions
+    and inserts the halo exchanges itself (the manual shard_map halo path
+    in parallel/spatial.py exists for the inference module's exact
+    border semantics); batch-mean losses, BN statistics and gradient
+    reductions become cross-axis psums automatically."""
+    axes = batch_axes(mesh)
+    if spatial and mesh.shape.get("spatial", 1) > 1:
+        return NamedSharding(mesh, P(axes, "spatial"))
+    return NamedSharding(mesh, P(axes))
 
 
 def replicate_sharding(mesh: Mesh) -> NamedSharding:
@@ -74,11 +85,14 @@ def shard_batch(mesh: Mesh, batch):
     return jax.device_put(batch, data_sharding(mesh))
 
 
-def shard_train_step(train_step, mesh: Mesh):
+def shard_train_step(train_step, mesh: Mesh, spatial: bool = False):
     """jit the train step with DP shardings: state replicated, batch
-    sharded on 'data'. GSPMD inserts the gradient/BN psums over ICI."""
+    sharded on 'data'. GSPMD inserts the gradient/BN psums over ICI.
+
+    ``spatial=True``: the batch is also H-sharded over 'spatial'
+    (see data_sharding) — spatially-parallel training."""
     repl = replicate_sharding(mesh)
-    data = data_sharding(mesh)
+    data = data_sharding(mesh, spatial=spatial)
     return jax.jit(
         train_step,
         in_shardings=(repl, data, repl, repl),

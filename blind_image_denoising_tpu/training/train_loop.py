@@ -129,7 +129,16 @@ def train_loop(
         data = len(jax.devices()) // spatial
     data = math.gcd(int(data), int(batch_size))
     mesh = create_mesh(data=data, spatial=spatial)
-    logger.info(f"mesh: {dict(mesh.shape)} over {len(jax.devices())} devices")
+    # tpu.mesh.spatial_training: also shard the crop's H dim over the
+    # 'spatial' axis inside the train step (GSPMD auto-halo) — train on
+    # crops larger than one chip's HBM. Equivalence-tested in
+    # tests/test_parallel.py; single-host (the multi-host batch assembly
+    # shards the batch dim only).
+    spatial_training = bool(mesh_cfg.get("spatial_training", False)) \
+        and spatial > 1 and n_proc == 1
+    logger.info(f"mesh: {dict(mesh.shape)} over {len(jax.devices())} devices"
+                + (" (spatially-sharded training)" if spatial_training
+                   else ""))
 
     grad_accum = max(1, int(train_config.get("gpu_batches_per_step", 1)))
 
@@ -153,7 +162,8 @@ def train_loop(
         remat=train_config.get("remat", False),
         use_pallas_noise=tpu_config.get("pallas_noise", False),
         grad_stats=grad_stats)
-    train_step = shard_train_step(train_step, mesh)
+    train_step = shard_train_step(train_step, mesh,
+                                  spatial=spatial_training)
     eval_step = jax.jit(build_eval_step(hydra))
 
     # --- deep supervision schedule
@@ -261,7 +271,8 @@ def train_loop(
         from ..parallel.mesh import data_sharding
         batches = device_prefetch(
             GroupedBatches(dataset.training, grad_accum),
-            sharding=data_sharding(mesh), prefetch=2,
+            sharding=data_sharding(mesh, spatial=spatial_training),
+            prefetch=2,
             # uint8 transfer is lossless when inputs get rounded on device
             transfer_dtype=(
                 np.uint8 if dataset_config.get("round_values", True)

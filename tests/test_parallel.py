@@ -264,3 +264,67 @@ def test_dataset_builder_process_sharding(tmp_path):
     assert seen[0] and seen[1]
     assert seen[0] | seen[1] == {0, 40, 80, 120, 160, 200}
     assert seen[0] != seen[1]
+
+
+@pytest.mark.parametrize("backbone", ["resnet", "unet_laplacian"])
+def test_spatial_training_matches_single_device(backbone):
+    """Spatially-parallel TRAINING: the batch's H dim sharded over the
+    'spatial' mesh axis (GSPMD auto-halo for convs/pools/resizes) must
+    produce the same updated parameters as the unsharded step. Exercises
+    the flagship's band-split/down/up ops under spatial partitioning."""
+    from blind_image_denoising_tpu.models.hydra import model_builder
+    from blind_image_denoising_tpu.training.losses import loss_function_builder
+    from blind_image_denoising_tpu.training.optimizer import optimizer_builder
+    from blind_image_denoising_tpu.training.train_state import create_train_state
+    from blind_image_denoising_tpu.training.train_step import build_train_step
+
+    if backbone == "resnet":
+        bb = {"type": "resnet", "input_shape": ["?", "?", 3], "filters": 4,
+              "no_layers": 1, "kernel_size": 3, "block_kernels": [3, 3],
+              "block_filters": [4, 4], "activation": "relu",
+              "batchnorm": False, "value_range": [0, 255],
+              "kernel_regularizer": "l1"}
+        no_outputs = 1
+    else:
+        bb = {"type": "unet_laplacian", "input_shape": ["?", "?", 3],
+              "depth": 2, "width": 1, "filters": 4,
+              "use_self_attention": False, "multiple_scale_outputs": True,
+              "value_range": [0, 255]}
+        no_outputs = 2
+    cfg = {"backbone": bb,
+           "denoiser": {"use_bias": False, "filters": 4,
+                        "output_channels": 3}}
+    loss_fns = loss_function_builder(
+        {"hinge": 0.0, "mae_multiplier": 1.0, "ssim_multiplier": -1.0,
+         "regularization": 0.01})
+    tx, _ = optimizer_builder({
+        "type": "ADAM", "schedule": {"type": "cosine_decay", "config": {
+            "learning_rate": 0.01, "decay_steps": 1000}}})
+
+    hydra = model_builder(cfg).hydra
+    sample = jnp.zeros((2, 32, 32, 3))
+    state = create_train_state(hydra, tx, jax.random.PRNGKey(0), sample)
+    step = build_train_step(hydra, tx, loss_fns, no_outputs=no_outputs,
+                            additive_noise=[5, 10], grad_accum=1)
+
+    batch = jnp.asarray(np.random.default_rng(2)
+                        .uniform(0, 255, (2, 32, 32, 3)).astype(np.float32))
+    rng = jax.random.PRNGKey(9)
+    dw = jnp.full((no_outputs,), 1.0 / no_outputs, jnp.float32)
+
+    s1, m1 = jax.jit(step)(state, batch, rng, dw)
+
+    mesh = create_mesh(data=2, spatial=4)
+    sharded = shard_train_step(step, mesh, spatial=True)
+    s8, m8 = sharded(
+        jax.device_put(state, replicate_sharding(mesh)),
+        jax.device_put(batch, data_sharding(mesh, spatial=True)),
+        jax.device_put(rng, replicate_sharding(mesh)),
+        jax.device_put(dw, replicate_sharding(mesh)))
+
+    assert float(m1["total_loss"]) == pytest.approx(
+        float(m8["total_loss"]), rel=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
