@@ -65,6 +65,17 @@ def main(argv=None) -> int:
         checkpoint_directory=args.checkpoint_directory,
         weights_directory=args.weights_directory,
         total_steps_override=args.total_steps)
+
+    if args.coordinator_address is not None:
+        # align ranks BEFORE the runtime's shutdown barrier: the primary's
+        # teardown (TensorBoard flush, orbax finalize) is slower than the
+        # other ranks', and the runtime's own barrier timeout is short —
+        # without this sync loaded machines hit DEADLINE_EXCEEDED at exit
+        # even though training completed on every rank
+        from .parallel.multihost import sync
+        sync("train_done")
+        import jax
+        jax.distributed.shutdown()
     return 0
 
 
