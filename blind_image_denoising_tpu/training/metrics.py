@@ -25,16 +25,28 @@ class MetricsWriter:
         self._enabled = enabled
         self._file = None
         self._tb = None
+        self._tb_dir = directory
+        self._tb_tried = False
         if not enabled:
             return
         os.makedirs(directory, exist_ok=True)
         self._path = os.path.join(directory, "metrics.jsonl")
         self._file = open(self._path, "a")
-        try:
-            from torch.utils.tensorboard import SummaryWriter
-            self._tb = SummaryWriter(log_dir=directory)
-        except Exception:
-            logger.info("tensorboard writer unavailable; JSONL only")
+
+    @property
+    def _tensorboard(self):
+        """TB writer, created on FIRST use: importing torch costs tens of
+        seconds on a cold cache, and in multi-host training that stall is
+        primary-only — paying it during construction delayed rank 0 past
+        the 30 s gloo context-init timeout of the first collective."""
+        if not self._tb_tried:
+            self._tb_tried = True
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self._tb = SummaryWriter(log_dir=self._tb_dir)
+            except Exception:
+                logger.info("tensorboard writer unavailable; JSONL only")
+        return self._tb
 
     def scalars(self, step: int, values: Dict[str, float],
                 prefix: str = ""):
@@ -44,25 +56,29 @@ class MetricsWriter:
         for k, v in values.items():
             key = f"{prefix}{k}" if prefix else k
             rec[key] = float(np.asarray(v))
-            if self._tb is not None:
-                self._tb.add_scalar(key, rec[key], int(step))
+            tb = self._tensorboard
+            if tb is not None:
+                tb.add_scalar(key, rec[key], int(step))
         self._file.write(json.dumps(rec) + "\n")
         self._file.flush()
 
     def text(self, step: int, tag: str, content: str):
-        if self._tb is not None:
-            self._tb.add_text(tag, content, int(step))
+        tb = self._tensorboard if self._enabled else None
+        if tb is not None:
+            tb.add_text(tag, content, int(step))
 
     def images(self, step: int, tag: str, batch: np.ndarray):
         """[B, H, W, C] float in [0, 255]."""
-        if self._tb is None:
+        tb = self._tensorboard if self._enabled else None
+        if tb is None:
             return
         imgs = np.clip(np.asarray(batch), 0, 255).astype(np.uint8)
-        self._tb.add_images(tag, imgs, int(step), dataformats="NHWC")
+        tb.add_images(tag, imgs, int(step), dataformats="NHWC")
 
     def figure(self, step: int, tag: str, fig):
-        if self._tb is not None:
-            self._tb.add_figure(tag, fig, int(step))
+        tb = self._tensorboard if self._enabled else None
+        if tb is not None:
+            tb.add_figure(tag, fig, int(step))
 
     def histogram(self, step: int, tag: str, values: np.ndarray,
                   max_samples: int = 100_000):
@@ -74,8 +90,9 @@ class MetricsWriter:
         flat = np.asarray(values).ravel()
         if flat.size > max_samples:  # bound TB payload
             flat = flat[:: flat.size // max_samples + 1]
-        if self._tb is not None:
-            self._tb.add_histogram(tag, flat, int(step))
+        tb = self._tensorboard
+        if tb is not None:
+            tb.add_histogram(tag, flat, int(step))
         p = np.percentile(flat, [1, 25, 50, 75, 99])
         self.scalars(step, {f"{tag}/p{q}": float(v)
                             for q, v in zip((1, 25, 50, 75, 99), p)})

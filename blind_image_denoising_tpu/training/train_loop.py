@@ -139,6 +139,12 @@ def train_loop(
     logger.info(f"mesh: {dict(mesh.shape)} over {len(jax.devices())} devices"
                 + (" (spatially-sharded training)" if spatial_training
                    else ""))
+    # multi-host: establish the cross-process collective context NOW,
+    # while all ranks are aligned — gloo context init has a hard 30 s
+    # key-exchange timeout, and rank-asymmetric setup work (the primary's
+    # TensorBoard/torch import, figure rendering) could otherwise delay
+    # one rank past it at the FIRST training collective
+    multihost.sync("mesh_ready")
 
     grad_accum = max(1, int(train_config.get("gpu_batches_per_step", 1)))
 
