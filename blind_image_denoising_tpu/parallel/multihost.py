@@ -122,7 +122,15 @@ def to_host(tree: Any) -> Any:
 
 
 def sync(name: str = "sync") -> None:
-    """Barrier across processes (no-op single-process)."""
+    """Barrier across processes (no-op single-process).
+
+    Also runs a tiny all-gather over ALL global devices: unlike the
+    coordination-service barrier, that forces the cross-process device
+    collective context (gloo on CPU, ICI on TPU) to initialize while the
+    ranks are aligned — its key exchange has a hard ~30 s timeout that a
+    rank-asymmetric startup stall would otherwise trip at the first
+    training collective."""
     if process_count() > 1:
         from jax.experimental import multihost_utils
+        multihost_utils.process_allgather(np.zeros((1,), np.float32))
         multihost_utils.sync_global_devices(name)

@@ -27,6 +27,7 @@ class MetricsWriter:
         self._tb = None
         self._tb_dir = directory
         self._tb_tried = False
+        self._pending_text = []
         if not enabled:
             return
         os.makedirs(directory, exist_ok=True)
@@ -36,9 +37,12 @@ class MetricsWriter:
     @property
     def _tensorboard(self):
         """TB writer, created on FIRST use: importing torch costs tens of
-        seconds on a cold cache, and in multi-host training that stall is
-        primary-only — paying it during construction delayed rank 0 past
-        the 30 s gloo context-init timeout of the first collective."""
+        seconds on a cold cache. Multi-host training must pay that stall
+        at a rank-aligned point — the train loop calls ``warm()`` before
+        its pre-train barrier — because a >30 s primary-only host stall
+        between collectives trips gloo's operation timeout on the other
+        ranks (observed: resume-phase rank 1 DEADLINE_EXCEEDED while
+        rank 0 imported torch)."""
         if not self._tb_tried:
             self._tb_tried = True
             try:
@@ -46,7 +50,17 @@ class MetricsWriter:
                 self._tb = SummaryWriter(log_dir=self._tb_dir)
             except Exception:
                 logger.info("tensorboard writer unavailable; JSONL only")
+            if self._tb is not None:
+                for step, tag, content in self._pending_text:
+                    self._tb.add_text(tag, content, step)
+            self._pending_text.clear()
         return self._tb
+
+    def warm(self):
+        """Pay the TensorBoard/torch import cost NOW (multi-host: call at
+        a rank-aligned point, see _tensorboard)."""
+        if self._enabled:
+            _ = self._tensorboard
 
     def scalars(self, step: int, values: Dict[str, float],
                 prefix: str = ""):
@@ -63,9 +77,15 @@ class MetricsWriter:
         self._file.flush()
 
     def text(self, step: int, tag: str, content: str):
-        tb = self._tensorboard if self._enabled else None
-        if tb is not None:
-            tb.add_text(tag, content, int(step))
+        if not self._enabled:
+            return
+        if not self._tb_tried:
+            # don't trigger the torch import for a text record — queue it
+            # until another write constructs the TB writer
+            self._pending_text.append((int(step), tag, content))
+            return
+        if self._tb is not None:
+            self._tb.add_text(tag, content, int(step))
 
     def images(self, step: int, tag: str, batch: np.ndarray):
         """[B, H, W, C] float in [0, 255]."""

@@ -139,12 +139,6 @@ def train_loop(
     logger.info(f"mesh: {dict(mesh.shape)} over {len(jax.devices())} devices"
                 + (" (spatially-sharded training)" if spatial_training
                    else ""))
-    # multi-host: establish the cross-process collective context NOW,
-    # while all ranks are aligned — gloo context init has a hard 30 s
-    # key-exchange timeout, and rank-asymmetric setup work (the primary's
-    # TensorBoard/torch import, figure rendering) could otherwise delay
-    # one rank past it at the FIRST training collective
-    multihost.sync("mesh_ready")
 
     grad_accum = max(1, int(train_config.get("gpu_batches_per_step", 1)))
 
@@ -190,6 +184,15 @@ def train_loop(
     writer = MetricsWriter(str(ckpt_dir), enabled=multihost.is_primary())
     import json as _json
     writer.text(0, "config", _json.dumps(config, indent=2))
+
+    if multihost.process_count() > 1:
+        # pay the primary's slow one-offs (TensorBoard/torch import) NOW,
+        # then align every rank before the first training collective:
+        # gloo's context-init/operation timeouts are ~30 s, so any longer
+        # rank-asymmetric host stall between collectives kills the run
+        # (observed both at first-step and at resume)
+        writer.warm()
+        multihost.sync("pre_train")
 
     epochs = train_config.get("epochs", 1)
     total_steps = train_config.get("total_steps", -1)

@@ -126,3 +126,19 @@ def test_two_process_train(tmp_path):
     assert glob.glob(str(ckpt_dir / "3" / "**"), recursive=True) or \
         glob.glob(str(ckpt_dir / "**" / "3"), recursive=True), \
         f"no step-3 checkpoint under {ckpt_dir}"
+
+    # --- multi-host RESUME: relaunch both ranks against the same
+    # checkpoint directory with a higher step budget; every process must
+    # restore step 3 and continue to 5 (pod preemption-recovery path)
+    cfg2 = dict(TINY_CONFIG)
+    cfg2["train"] = dict(TINY_CONFIG["train"], total_steps=5,
+                         checkpoint_every=5)
+    cfg_path.write_text(json.dumps(cfg2))
+    rcs, outs = _launch_two_ranks(cfg_path, ckpt_dir, tmp_path)
+    for rank, (rc, out) in enumerate(zip(rcs, outs)):
+        assert rc == 0, \
+            f"resume rank {rank} failed (logs in {tmp_path}):\n{out[-4000:]}"
+    assert any("restored checkpoint step 3" in o for o in outs), \
+        outs[0][-1500:]
+    steps = [json.loads(l)["step"] for l in metrics.read_text().splitlines()]
+    assert 5 in steps and steps.count(5) == 1
