@@ -99,6 +99,8 @@ def main(argv=None) -> int:
     parser.add_argument("--images", default=None, type=str,
                         help="directory of eval images (default: packaged)")
     parser.add_argument("--size", default=256, type=int)
+    parser.add_argument("--limit", default=4, type=int,
+                        help="max images to evaluate (default 4)")
     parser.add_argument("--stds", default=None, type=str,
                         help="comma-separated noise stds")
     parser.add_argument("--quant", action="store_true",
@@ -112,7 +114,9 @@ def main(argv=None) -> int:
 
     import blind_image_denoising_tpu as bid
     denoiser = bid.load_model(args.model, quant=args.quant)
-    images = load_eval_images(args.images, size=args.size)
+    images = load_eval_images(args.images, size=args.size,
+                              limit=args.limit)[:args.limit]
+    logger.info(f"evaluating {len(images)} images at {args.size}^2")
     stds = ([float(s) for s in args.stds.split(",")] if args.stds
             else DEFAULT_STDS)
     records = noise_sweep(denoiser, images, stds=stds)
