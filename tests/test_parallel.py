@@ -286,9 +286,12 @@ def test_spatial_training_matches_single_device(backbone):
               "kernel_regularizer": "l1"}
         no_outputs = 1
     else:
+        # use_self_attention: the bottleneck ConvolutionalSelfAttention
+        # (fixed-16² resize + full QK^T) is the riskiest op under
+        # H-sharding — the packaged flagship config enables it
         bb = {"type": "unet_laplacian", "input_shape": ["?", "?", 3],
               "depth": 2, "width": 1, "filters": 4,
-              "use_self_attention": False, "multiple_scale_outputs": True,
+              "use_self_attention": True, "multiple_scale_outputs": True,
               "value_range": [0, 255]}
         no_outputs = 2
     cfg = {"backbone": bb,
