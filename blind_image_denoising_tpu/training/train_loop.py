@@ -123,12 +123,20 @@ def train_loop(
     # batch divides the data axis)
     import math
     mesh_cfg = tpu_config.get("mesh", {"data": -1})
-    spatial = mesh_cfg.get("spatial", 1)
+    spatial = int(mesh_cfg.get("spatial", 1))
+    # tpu.mesh.dcn: multi-slice training — outermost mesh axis so the
+    # per-step gradient reduce stays on ICI and only the slice combine
+    # crosses the data-center network (parallel/mesh.py)
+    dcn = max(1, int(mesh_cfg.get("dcn", 1)))
     data = mesh_cfg.get("data", -1)
     if data == -1:
-        data = len(jax.devices()) // spatial
-    data = math.gcd(int(data), int(batch_size))
-    mesh = create_mesh(data=data, spatial=spatial)
+        data = len(jax.devices()) // (spatial * dcn)
+    if batch_size % dcn:
+        raise ValueError(f"batch_size {batch_size} not divisible by "
+                         f"dcn={dcn} slices")
+    # clamp so the ('dcn','data')-sharded batch divides evenly
+    data = math.gcd(int(data), batch_size // dcn)
+    mesh = create_mesh(data=data, spatial=spatial, dcn=dcn)
     # tpu.mesh.spatial_training: also shard the crop's H dim over the
     # 'spatial' axis inside the train step (GSPMD auto-halo) — train on
     # crops larger than one chip's HBM. Equivalence-tested in

@@ -168,3 +168,32 @@ def test_per_epoch_pruning_in_train_loop(tmp_path):
         nz = w[w != 0]
         assert nz.size == 0 or np.abs(nz).min() >= 0.05
         assert (w == 0).any()
+
+
+def test_dcn_mesh_via_train_loop(tmp_path):
+    """tpu.mesh.dcn builds the multi-slice ('dcn','data','spatial') mesh
+    through the config path and trains on it (virtual 8-device mesh)."""
+    import json
+    from blind_image_denoising_tpu.training.train_loop import train_loop
+
+    cfg = {
+        "model": {"backbone": {
+            "type": "resnet", "input_shape": ["?", "?", 3], "filters": 4,
+            "no_layers": 1, "kernel_size": 3, "block_kernels": [3],
+            "block_filters": [4], "activation": "relu", "batchnorm": False,
+            "value_range": [0, 255], "kernel_regularizer": "l1"},
+            "denoiser": {"use_bias": False, "output_channels": 3}},
+        "train": {"epochs": 1, "total_steps": 2, "checkpoint_every": -1,
+                  "visualization_every": -1, "use_test_images": False,
+                  "optimizer": {"type": "adam", "schedule": {
+                      "type": "cosine_decay", "config": {
+                          "learning_rate": 0.001, "decay_steps": 100}}}},
+        "loss": {"hinge": 0.0, "mae_multiplier": 1.0, "ssim_multiplier": -1.0},
+        "dataset": {"batch_size": 8, "input_shape": [16, 16, 3],
+                    "additional_noise": [1, 10], "inputs": []},
+        "tpu": {"mesh": {"dcn": 2, "data": 2, "spatial": 2}},
+    }
+    state = train_loop(cfg, tmp_path / "ckpt")
+    assert int(state.step) == 2
+    lines = (tmp_path / "ckpt" / "metrics.jsonl").read_text().splitlines()
+    assert any(json.loads(l)["step"] == 2 for l in lines)
