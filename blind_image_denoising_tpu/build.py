@@ -21,7 +21,14 @@ def main(argv=None) -> int:
         description="build a hydra model from a pipeline config")
     parser.add_argument("--pipeline-config", required=True, type=str)
     parser.add_argument("--output-directory", required=True, type=str)
+    parser.add_argument("--platform", default=None, type=str,
+                        help="force a jax platform (e.g. cpu) — the "
+                             "environment's TPU plugin ignores "
+                             "JAX_PLATFORMS")
     args = parser.parse_args(argv)
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     config = load_config(args.pipeline_config)
     out = Path(args.output_directory)
