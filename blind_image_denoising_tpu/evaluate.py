@@ -86,7 +86,7 @@ def load_eval_images(directory: Optional[str], size: int = 256,
             return np.stack(imgs, axis=0).astype(np.float32)
         logger.warning(f"no images in [{directory}]; using packaged set")
     from .images import load_evaluation_images
-    return load_evaluation_images(size)
+    return load_evaluation_images(size)[:limit]
 
 
 def main(argv=None) -> int:
@@ -115,7 +115,7 @@ def main(argv=None) -> int:
     import blind_image_denoising_tpu as bid
     denoiser = bid.load_model(args.model, quant=args.quant)
     images = load_eval_images(args.images, size=args.size,
-                              limit=args.limit)[:args.limit]
+                              limit=args.limit)
     logger.info(f"evaluating {len(images)} images at {args.size}^2")
     stds = ([float(s) for s in args.stds.split(",")] if args.stds
             else DEFAULT_STDS)

@@ -96,12 +96,10 @@ def put_batch(sharding, local_batch: np.ndarray):
 
 def replicate(sharding, value: np.ndarray):
     """Fully-replicate a host value (identical on all processes) onto the
-    mesh — e.g. the evaluation image batch."""
-    import jax
-    if process_count() > 1:
-        return jax.make_array_from_process_local_data(
-            sharding, np.asarray(value))
-    return jax.device_put(value, sharding)
+    mesh — e.g. the evaluation image batch. With a REPLICATED sharding
+    every process supplies the full value, which is exactly put_batch's
+    local-shard contract."""
+    return put_batch(sharding, np.asarray(value))
 
 
 def to_host(tree: Any) -> Any:

@@ -67,10 +67,10 @@ class MetricsWriter:
         if not self._enabled:
             return
         rec = {"step": int(step), "time": time.time()}
+        tb = self._tensorboard
         for k, v in values.items():
             key = f"{prefix}{k}" if prefix else k
             rec[key] = float(np.asarray(v))
-            tb = self._tensorboard
             if tb is not None:
                 tb.add_scalar(key, rec[key], int(step))
         self._file.write(json.dumps(rec) + "\n")
@@ -120,5 +120,9 @@ class MetricsWriter:
     def close(self):
         if self._file is not None:
             self._file.close()
+        if self._pending_text:
+            # a run that only wrote text (e.g. crashed before the first
+            # scalar) must not silently drop it
+            _ = self._tensorboard
         if self._tb is not None:
             self._tb.close()

@@ -75,6 +75,16 @@ def train_loop(
             raise ValueError(
                 f"global batch_size {batch_size} not divisible by "
                 f"{n_proc} processes")
+        if dataset_config.get("inputs") and not dataset_config.get("repeat"):
+            # per-host file shards yield DIFFERENT batch counts per epoch
+            # (odd file counts, min_crop_std rejections), and a host that
+            # runs even one extra step leaves its peers' collectives
+            # without participants — a deadlock, not an error message.
+            # Multi-host training is steps-based by construction.
+            raise ValueError(
+                "multi-host training requires dataset.repeat=true with "
+                "train.total_steps (epoch-bounded per-host file shards "
+                "desynchronize the cross-host step count)")
         dataset_config = dict(dataset_config,
                               batch_size=batch_size // n_proc)
     dataset = dataset_builder(dataset_config)
@@ -92,7 +102,10 @@ def train_loop(
     hydra = builder_results.hydra
 
     rng = jax.random.PRNGKey(0)
-    sample = jnp.zeros((batch_size, input_shape[0], input_shape[1],
+    # init at batch 1: parameter shapes are batch-independent, and a
+    # global-batch-size init would materialize the full forward on ONE
+    # device (multi-host: the global batch on a single chip = OOM)
+    sample = jnp.zeros((1, input_shape[0], input_shape[1],
                         input_shape[2]), jnp.float32)
     state = create_train_state(hydra, tx, rng, sample)
     no_outputs = len(hydra.apply(
@@ -144,6 +157,12 @@ def train_loop(
     # shards the batch dim only).
     spatial_training = bool(mesh_cfg.get("spatial_training", False)) \
         and spatial > 1 and n_proc == 1
+    if bool(mesh_cfg.get("spatial_training", False)) and not spatial_training:
+        logger.warning(
+            "tpu.mesh.spatial_training requested but NOT active "
+            f"(spatial={spatial}, processes={n_proc}) — it needs "
+            "spatial > 1 and a single-host launch; the step will run "
+            "without H sharding")
     logger.info(f"mesh: {dict(mesh.shape)} over {len(jax.devices())} devices"
                 + (" (spatially-sharded training)" if spatial_training
                    else ""))
@@ -193,13 +212,16 @@ def train_loop(
     import json as _json
     writer.text(0, "config", _json.dumps(config, indent=2))
 
+    # pay the TB/torch import NOW, not inside the step loop (single-host:
+    # the first logged step would stall tens of seconds and skew
+    # steps_per_second; multi-host: a >30 s rank-asymmetric host stall
+    # between collectives trips gloo's operation timeout — observed both
+    # at first-step and at resume)
+    writer.warm()
     if multihost.process_count() > 1:
-        # pay the primary's slow one-offs (TensorBoard/torch import) NOW,
-        # then align every rank before the first training collective:
-        # gloo's context-init/operation timeouts are ~30 s, so any longer
-        # rank-asymmetric host stall between collectives kills the run
-        # (observed both at first-step and at resume)
-        writer.warm()
+        # then align every rank before the first training collective
+        # (sync also force-initializes the cross-process device-collective
+        # context, whose key exchange has a hard ~30 s timeout)
         multihost.sync("pre_train")
 
     epochs = train_config.get("epochs", 1)
