@@ -142,3 +142,22 @@ def test_two_process_train(tmp_path):
         outs[0][-1500:]
     steps = [json.loads(l)["step"] for l in metrics.read_text().splitlines()]
     assert 5 in steps and steps.count(5) == 1
+
+
+def test_epoch_bounded_file_dataset_rejected(tmp_path, monkeypatch):
+    """Multi-host + non-repeat file datasets must raise the steps-based
+    contract error (per-host shards desynchronize batch counts) instead
+    of deadlocking at a stranded collective."""
+    import pytest
+    from blind_image_denoising_tpu.parallel import multihost
+    from blind_image_denoising_tpu.training import train_loop as tl
+
+    # train_loop imports the multihost module at call time, so patching
+    # the module attribute covers it
+    monkeypatch.setattr(multihost, "process_count", lambda: 2)
+
+    cfg = json.loads(json.dumps(TINY_CONFIG))
+    cfg["dataset"]["repeat"] = False
+    cfg["dataset"]["inputs"] = [{"directory": str(tmp_path)}]
+    with pytest.raises(ValueError, match="repeat"):
+        tl.train_loop(cfg, tmp_path / "ckpt")
