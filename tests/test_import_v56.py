@@ -80,3 +80,14 @@ def test_load_model_prefers_native_import():
                                             dtype=np.uint8)
     out = den(img)
     assert out.shape == img.shape and out.dtype == np.uint8
+
+
+def test_load_default_denoiser_packaged():
+    """The packaged registry's default path works without any external
+    artifact (reference __init__.py:119-122 contract)."""
+    import numpy as np
+    import blind_image_denoising_tpu as bid
+    den = bid.load_default_denoiser()
+    img = np.random.default_rng(0).integers(0, 255, (40, 56, 3), np.uint8)
+    out = den(img)
+    assert out.shape == img.shape and out.dtype == np.uint8
