@@ -237,3 +237,35 @@ def test_fast_layer_norm_matches_flax():
     y32 = np.asarray(FastLayerNorm(epsilon=1e-6).apply(v, x))
     assert np.abs(y16 - y32).max() < 0.05
     assert ours16.apply(v, x).dtype == jnp.bfloat16
+
+
+def test_fast_layer_norm_gradients_match_flax():
+    """The custom VJP must reproduce autodiff-through-nn.LayerNorm
+    gradients (x, scale AND bias cotangents) — a wrong hand-written
+    backward would silently mis-train every use_ln model."""
+    import flax.linen as nn
+    from blind_image_denoising_tpu.layers.norm import FastLayerNorm
+
+    x = jnp.asarray(np.random.default_rng(3)
+                    .normal(0, 3, (2, 6, 6, 16)).astype(np.float32))
+    for use_bias in (False, True):
+        ours = FastLayerNorm(epsilon=1e-6, use_scale=True, use_bias=use_bias)
+        ref = nn.LayerNorm(epsilon=1e-6, use_scale=True, use_bias=use_bias)
+        v = ref.init(jax.random.PRNGKey(0), x)
+        v = jax.tree_util.tree_map(
+            lambda a: a + jnp.arange(a.size, dtype=a.dtype).reshape(a.shape)
+            * 0.02, v)
+
+        def loss(mod):
+            # non-uniform cotangent exercises every backward term
+            w = jnp.arange(x.size, dtype=jnp.float32).reshape(x.shape)
+            return lambda vv, xx: jnp.sum(mod.apply(vv, xx) * jnp.sin(w))
+
+        g_ours_v, g_ours_x = jax.grad(loss(ours), argnums=(0, 1))(v, x)
+        g_ref_v, g_ref_x = jax.grad(loss(ref), argnums=(0, 1))(v, x)
+        np.testing.assert_allclose(np.asarray(g_ours_x), np.asarray(g_ref_x),
+                                   rtol=1e-4, atol=1e-4)
+        for a, b in zip(jax.tree_util.tree_leaves(g_ours_v),
+                        jax.tree_util.tree_leaves(g_ref_v)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4)
