@@ -1,8 +1,10 @@
 """Post-training int8 quantization: calibration + quantized variables.
 
-TPU-native equivalent of the reference's TFLite full-int8 export (its
-shipped pretrained artifacts are int8 TFLite graphs produced by TFLite
-PTQ with a representative dataset). Here the calibration computes
+TPU-native counterpart of the reference's quantized TFLite export
+(reference export_model.py:143-162 — dynamic-range quantization:
+``Optimize.DEFAULT`` with no representative dataset, i.e. int8 weights
+with float activations; the full-int8 ACTIVATION path here goes beyond
+it). The calibration computes
 symmetric per-tensor input scales for every ConvBlock by recording input
 absolute maxima over representative batches (the ``quant_stats``
 collection sown by layers/conv.py under ``quant_mode('calibrate')``);
@@ -15,9 +17,13 @@ Usage::
     qvars = calibrate(hydra, variables, images)       # adds 'quant'
     den = Denoiser(hydra, qvars, quant=True)          # int8 serving
 
-Why this wins on TPU: the denoiser is HBM-bound (docs/PERF.md); int8
-activations halve bytes vs bf16 and the MXU convolves int8 natively —
-measured 2.23x on the flagship's hot conv shapes.
+Performance status (docs/QUANTIZATION.md): a conv-pair microbenchmark of
+the flagship's hot shapes measured int8 2.23x faster than bf16, but
+END-TO-END int8 through XLA is currently ~12% slower (434 vs 495 img/s)
+because XLA materializes the int32 conv accumulators instead of fusing
+the rescale epilogue — which is why serving ships ``quant=False`` by
+default. int8 exists for deployment parity and for toolchains whose conv
+epilogue fusion keeps the accumulator in registers.
 """
 
 from typing import Dict, Iterable, Optional, Union

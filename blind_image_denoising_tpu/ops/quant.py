@@ -7,13 +7,13 @@ matmul/conv natively; a micro-benchmark of the flagship's encoder shapes
 (1x1 32→128→32 chain @256², honest K-differenced timing) measured int8
 2.23x faster than bf16.
 
-Parity note: the reference's own deployment artifact is full-int8 TFLite
-(/root/reference/README.md pretrained section; its export pipeline runs
-TFLite post-training quantization with a representative dataset,
-export_model.py). This module is the TPU-native equivalent: symmetric
-per-tensor activation scales calibrated on representative images +
-symmetric per-output-channel weight scales, executed as int8 lax
-convolutions with int32 accumulation.
+Parity note: the reference's deployment artifact is dynamic-range
+quantized TFLite — ``Optimize.DEFAULT`` with NO representative dataset
+and float I/O (reference export_model.py:143-162), i.e. int8 weights,
+float activations. This module goes beyond that: symmetric per-tensor
+ACTIVATION scales calibrated on representative images + symmetric
+per-output-channel weight scales, executed as int8 lax convolutions with
+int32 accumulation.
 
 Mechanics: quantized execution is a TRACE-TIME mode, entered with the
 ``quant_mode`` context manager around ``model.apply``:

@@ -119,6 +119,17 @@ def to_host(tree: Any) -> Any:
     return jax.tree_util.tree_map(_one, tree)
 
 
+def broadcast_from_primary(tree: Any) -> Any:
+    """Make the primary process's host pytree authoritative on every rank
+    (no-op single-process). Used by the in-loop pruning hook so a
+    non-deterministic host-side transform can never desynchronize ranks."""
+    if process_count() > 1:
+        from jax.experimental import multihost_utils
+        tree = multihost_utils.broadcast_one_to_all(tree)
+        tree = to_host(tree)
+    return tree
+
+
 def sync(name: str = "sync") -> None:
     """Barrier across processes (no-op single-process).
 

@@ -149,6 +149,18 @@ def train_loop(
                          f"dcn={dcn} slices")
     # clamp so the ('dcn','data')-sharded batch divides evenly
     data = math.gcd(int(data), batch_size // dcn)
+    if n_proc > 1 and dcn * data * spatial != len(jax.devices()):
+        # jax.devices() is process-major, so a clamped mesh that drops
+        # devices drops whole PROCESSES from the mesh — those ranks would
+        # then fail batch assembly or hang a collective instead of
+        # getting a clear error here
+        raise ValueError(
+            f"multi-host mesh dcn={dcn} x data={data} x spatial={spatial} "
+            f"covers {dcn * data * spatial} of {len(jax.devices())} global "
+            f"devices (data was clamped to divide batch_size={batch_size}); "
+            f"every process must own mesh devices — use a global batch_size "
+            f"divisible by dcn*data over all devices, or shrink the mesh "
+            f"via tpu.mesh")
     mesh = create_mesh(data=data, spatial=spatial, dcn=dcn)
     # tpu.mesh.spatial_training: also shard the crop's H dim over the
     # 'spatial' axis inside the train step (GSPMD auto-halo) — train on
@@ -397,9 +409,14 @@ def train_loop(
                 and int(state.epoch) % int(prune_cfg.get(
                     "every_epochs", 1)) == 0:
             from ..pruning import prune_function_builder, prune_params
-            from ..parallel.multihost import to_host
+            from ..parallel.multihost import broadcast_from_primary, to_host
             pruned = prune_params(to_host(state.params),
                                   prune_function_builder(prune_cfg))
+            # the shipped strategies are deterministic (seeded RNG, full
+            # SVD), but only the primary's values are authoritative: a
+            # future non-deterministic strategy must not silently
+            # desynchronize ranks
+            pruned = broadcast_from_primary(pruned)
             state = state.replace(params=pruned)
             logger.info(f"epoch {int(state.epoch)}: pruned weights "
                         f"({prune_cfg.get('strategy')})")

@@ -161,3 +161,23 @@ def test_epoch_bounded_file_dataset_rejected(tmp_path, monkeypatch):
     cfg["dataset"]["inputs"] = [{"directory": str(tmp_path)}]
     with pytest.raises(ValueError, match="repeat"):
         tl.train_loop(cfg, tmp_path / "ckpt")
+
+
+def test_multihost_clamped_mesh_must_span_all_processes(
+        tmp_path, monkeypatch):
+    """A global batch too small for the device count silently shrinks the
+    data axis (gcd clamp) — in multi-host that would drop whole processes
+    from the mesh (jax.devices() is process-major) and strand their
+    collectives. Must be a descriptive config error instead."""
+    import pytest
+    from blind_image_denoising_tpu.parallel import multihost
+    from blind_image_denoising_tpu.training import train_loop as tl
+
+    monkeypatch.setattr(multihost, "process_count", lambda: 2)
+
+    cfg = json.loads(json.dumps(TINY_CONFIG))
+    # global batch 4 on 8 virtual devices -> data clamped 8 -> 4:
+    # mesh covers 4 of 8 devices = only "process 0"
+    cfg["dataset"]["batch_size"] = 4
+    with pytest.raises(ValueError, match="covers 4 of 8"):
+        tl.train_loop(cfg, tmp_path / "ckpt")
