@@ -102,40 +102,41 @@ V56_KERAS = ("/root/reference/bfcnn/pretrained/unet_laplacian_v5.6/"
                     reason="reference pretrained artifact not mounted")
 @pytest.mark.skipif(not os.path.isdir(KITTI_DIR),
                     reason="KITTI test frames not mounted")
+def _kitti_crops(width: int) -> np.ndarray:
+    from blind_image_denoising_tpu.data.file_operations import load_image
+    crops = []
+    for f in sorted(os.listdir(KITTI_DIR)):
+        img = load_image(os.path.join(KITTI_DIR, f), num_channels=3)
+        if img.shape[0] >= 256 and img.shape[1] >= width:
+            crops.append(img[:256, :width])
+    assert len(crops) >= 10, "expected the full KITTI test set"
+    return np.stack(crops, axis=0).astype(np.float32)
+
+
 def test_acceptance_gate_all_kitti_full_sweep():
     """Reference-strength acceptance gate (test_pretrained.py:63-80 parity):
-    every mounted KITTI frame (consistent 256x512 crops) and every std in
-    {10,15,20,25,30}; PSNR AND SSIM AND MAE must all improve. Uses the
-    native float32 import (much faster than the TFLite executor) and one
-    batched forward per std.
+    the FULL product — every mounted KITTI frame at every std in
+    {10,15,20,25,30}; PSNR AND SSIM AND MAE must all improve. One batched
+    forward per std over the native float32 import.
 
-    Default suite covers every frame and every std by dealing the frames
-    round-robin across the five stds (~1/5 the compute: the full
-    cross-product takes ~22 min on CPU — verified passing once 2026-08-16).
-    Set BID_FULL_ACCEPTANCE=1 for the full frames×stds product."""
+    Default suite runs the full product on 256x256 center crops (~5 min
+    CPU); BID_FULL_ACCEPTANCE=1 widens the crops to the 256x512 protocol
+    (~20 min CPU — verified passing 2026-08-17)."""
     import blind_image_denoising_tpu as bid
-    from blind_image_denoising_tpu.data.file_operations import load_image
     from blind_image_denoising_tpu.ops.losses import psnr
     from blind_image_denoising_tpu.ops.ssim import ssim
 
     den = bid.load_model(os.path.dirname(V56_KERAS))
-
-    crops = []
-    for f in sorted(os.listdir(KITTI_DIR)):
-        img = load_image(os.path.join(KITTI_DIR, f), num_channels=3)
-        if img.shape[0] >= 256 and img.shape[1] >= 512:
-            crops.append(img[:256, :512])
-    assert len(crops) >= 10, "expected the full KITTI test set"
-    clean_all = np.stack(crops, axis=0).astype(np.float32)
+    width = 512 if os.environ.get("BID_FULL_ACCEPTANCE") == "1" else 256
+    clean_all = _kitti_crops(width)
 
     stds = (10, 15, 20, 25, 30)
-    full = os.environ.get("BID_FULL_ACCEPTANCE") == "1"
     rng = np.random.default_rng(0)
-    for i, std in enumerate(stds):
-        clean = clean_all if full else clean_all[i::len(stds)]
-        clean_j = jnp.asarray(clean)
-        noisy = np.clip(np.round(clean + rng.normal(0, std, clean.shape)),
-                        0, 255).astype(np.uint8)
+    for std in stds:
+        clean_j = jnp.asarray(clean_all)
+        noisy = np.clip(
+            np.round(clean_all + rng.normal(0, std, clean_all.shape)),
+            0, 255).astype(np.uint8)
         noisy_f = jnp.asarray(noisy, jnp.float32)
         out = jnp.asarray(np.asarray(den(noisy)), jnp.float32)
 
@@ -147,3 +148,34 @@ def test_acceptance_gate_all_kitti_full_sweep():
         assert float(ssim(clean_j, out).mean()) > \
             float(ssim(clean_j, noisy_f).mean()), \
             f"SSIM not improved at std {std}"
+
+
+@pytest.mark.skipif(not os.path.isdir(KITTI_DIR),
+                    reason="KITTI test frames not mounted")
+def test_shipped_highnoise_artifact_kitti_gate():
+    """The package's OWN headline artifact (unet_laplacian_v56_highnoise)
+    gated on real KITTI frames at the high-noise stds it advertises:
+    denoised must beat noisy on MAE and PSNR at std ∈ {40, 60, 80}, and
+    by a wide margin (>= 2x MAE reduction — the model's measured margins
+    are ~3-4x, docs/QUALITY_BENCHMARK.md)."""
+    import blind_image_denoising_tpu as bid
+    from blind_image_denoising_tpu.ops.losses import psnr
+    if "unet_laplacian_v56_highnoise" not in bid.models:
+        pytest.skip("shipped artifact not present")
+    den = bid.load_model("unet_laplacian_v56_highnoise")
+
+    clean_all = _kitti_crops(256)
+    rng = np.random.default_rng(0)
+    for std in (40, 60, 80):
+        clean_j = jnp.asarray(clean_all)
+        noisy = np.clip(
+            np.round(clean_all + rng.normal(0, std, clean_all.shape)),
+            0, 255).astype(np.uint8)
+        noisy_f = jnp.asarray(noisy, jnp.float32)
+        out = jnp.asarray(np.asarray(den(noisy)), jnp.float32)
+        mae_n = float(jnp.abs(noisy_f - clean_j).mean())
+        mae_d = float(jnp.abs(out - clean_j).mean())
+        assert mae_d < 0.5 * mae_n, \
+            f"std {std}: MAE {mae_d:.2f} vs noisy {mae_n:.2f}"
+        assert float(psnr(clean_j, out)) > float(psnr(clean_j, noisy_f)), \
+            f"PSNR not improved at std {std}"
