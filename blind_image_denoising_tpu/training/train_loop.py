@@ -165,16 +165,29 @@ def train_loop(
     # tpu.mesh.spatial_training: also shard the crop's H dim over the
     # 'spatial' axis inside the train step (GSPMD auto-halo) — train on
     # crops larger than one chip's HBM. Equivalence-tested in
-    # tests/test_parallel.py; single-host (the multi-host batch assembly
-    # shards the batch dim only).
+    # tests/test_parallel.py; multi-host covered by
+    # tests/test_multihost.py (each process supplies its full-H local
+    # batch rows and make_array_from_process_local_data assembles the
+    # (batch x H)-sharded global array — valid because every process owns
+    # COMPLETE spatial groups, enforced below).
     spatial_training = bool(mesh_cfg.get("spatial_training", False)) \
-        and spatial > 1 and n_proc == 1
+        and spatial > 1
+    if spatial_training and n_proc > 1:
+        local = len(jax.local_devices())
+        if local % spatial:
+            # the ('dcn','data','spatial') reshape over process-major
+            # devices puts a spatial group across a process boundary —
+            # a process could not supply full-H rows for its shard
+            raise ValueError(
+                f"spatial_training with {n_proc} processes requires the "
+                f"per-process device count ({local}) to be divisible by "
+                f"spatial={spatial} so each process owns whole spatial "
+                f"groups")
     if bool(mesh_cfg.get("spatial_training", False)) and not spatial_training:
         logger.warning(
             "tpu.mesh.spatial_training requested but NOT active "
-            f"(spatial={spatial}, processes={n_proc}) — it needs "
-            "spatial > 1 and a single-host launch; the step will run "
-            "without H sharding")
+            f"(spatial={spatial}) — it needs spatial > 1; the step will "
+            "run without H sharding")
     logger.info(f"mesh: {dict(mesh.shape)} over {len(jax.devices())} devices"
                 + (" (spatially-sharded training)" if spatial_training
                    else ""))
