@@ -17,6 +17,11 @@ def main(argv=None) -> int:
                         help="also serialize a StableHLO compiled artifact")
     parser.add_argument("--no-stablehlo", dest="to_stablehlo",
                         action="store_false")
+    parser.add_argument("--to-tflite", action="store_true",
+                        help="also emit denoiser_model.tflite "
+                             "(dynamic-range quantized, any-size input — "
+                             "the reference ecosystem's deployment "
+                             "artifact; needs TensorFlow at export time)")
     parser.add_argument("--test-model", action="store_true",
                         help="run an inference self-test after export")
     parser.add_argument("--quantize", action="store_true",
@@ -37,6 +42,7 @@ def main(argv=None) -> int:
         checkpoint_directory=args.checkpoint_directory,
         output_directory=args.output_directory,
         to_stablehlo=args.to_stablehlo,
+        to_tflite=args.to_tflite,
         test_model=args.test_model,
         quantize=args.quantize)
     return 0

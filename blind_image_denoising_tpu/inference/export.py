@@ -31,6 +31,7 @@ PARAMS_FILE = "params.msgpack"
 CONFIG_FILE = "pipeline.json"
 QUANT_FILE = "quant.msgpack"
 STABLEHLO_FILE = "denoiser.stablehlo"
+TFLITE_FILE = "denoiser_model.tflite"
 
 
 def export_model(
@@ -38,6 +39,7 @@ def export_model(
         checkpoint_directory: Union[str, Path],
         output_directory: Union[str, Path],
         to_stablehlo: bool = True,
+        to_tflite: bool = False,
         test_model: bool = False,
         reference_shape=(1, 256, 256, 3),
         quantize: bool = False,
@@ -102,6 +104,13 @@ def export_model(
             f.write(blob)
         logger.info(f"wrote {out_dir / STABLEHLO_FILE}")
 
+    if to_tflite:
+        blob = serialize_tflite(results.hydra, variables,
+                                channels=int(shape[2]))
+        with open(out_dir / TFLITE_FILE, "wb") as f:
+            f.write(blob)
+        logger.info(f"wrote {out_dir / TFLITE_FILE} ({len(blob)} bytes)")
+
     if test_model:
         denoiser = load_exported_model(out_dir)
         import numpy as np
@@ -143,6 +152,43 @@ def serialize_stablehlo(model, variables, reference_shape=(1, 256, 256, 3),
         exported = jax_export.export(fwd)(
             jax.ShapeDtypeStruct(reference_shape, jnp.float32))
     return exported.serialize()
+
+
+def serialize_tflite(model, variables, channels: int = 3) -> bytes:
+    """Emit a ``.tflite`` flatbuffer of the finest-scale forward — the
+    reference ecosystem's deployment artifact (reference
+    export_model.py:143-162). Requires TensorFlow at export time only.
+
+    Pipeline: ``jax2tf`` graph serialization (pure TF ops — the
+    XlaCallModule native path is not TFLite-convertible) with a
+    shape-polymorphic [b, h, w, C] signature, then ``TFLiteConverter``
+    with ``Optimize.DEFAULT`` — the SAME dynamic-range (weights-only
+    int8) quantization the reference export applies, so a reference user
+    gets a byte-compatible artifact class for their existing edge stack.
+    The result is consumable by this repo's own executor
+    (inference/tflite.py) and by any TFLite/LiteRT runtime."""
+    try:
+        import tensorflow as tf
+        from jax.experimental import jax2tf
+    except ImportError as e:  # pragma: no cover — TF is an export-time dep
+        raise RuntimeError(
+            f"TFLite export needs TensorFlow installed ({e}); "
+            f"use the StableHLO artifact otherwise") from e
+
+    def fwd(x):
+        return model.apply(variables, x, train=False)[0]
+
+    tf_fn = jax2tf.convert(
+        fwd, native_serialization=False,
+        polymorphic_shapes=[f"(b, h, w, {channels})"])
+    tff = tf.function(
+        tf_fn,
+        input_signature=[tf.TensorSpec([None, None, None, channels],
+                                       tf.float32)])
+    converter = tf.lite.TFLiteConverter.from_concrete_functions(
+        [tff.get_concrete_function()], tff)
+    converter.optimizations = [tf.lite.Optimize.DEFAULT]
+    return converter.convert()
 
 
 def load_stablehlo(directory: Union[str, Path]):

@@ -389,6 +389,11 @@ class TFLiteExecutor:
                 else jnp.pad(x, pads)
         elif name == "RESIZE_BILINEAR":
             y = _resize_bilinear(inp(0), inp(1), opts)
+        elif name == "BROADCAST_TO":
+            shape = np.asarray(inp(1)).ravel().tolist()
+            x = inp(0)
+            y = np.broadcast_to(x, shape) if _is_host(x) \
+                else jnp.broadcast_to(x, shape)
         else:
             raise NotImplementedError(f"TFLite op [{name}] not implemented")
 
