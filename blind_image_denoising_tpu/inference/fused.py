@@ -173,6 +173,7 @@ def build_fused_forward(config: Dict, variables: Dict,
                         scales: Optional[Dict[str, float]] = None,
                         dtype=jnp.bfloat16,
                         interpret: bool = False,
+                        fused_levels: Optional[tuple] = None,
                         _recorder: Optional[_AmaxRecorder] = None):
     """Return ``fwd(x) -> [outputs]`` mirroring ``hydra.apply`` for the
     flagship config family, with the ConvNext stages fused.
@@ -198,7 +199,8 @@ def build_fused_forward(config: Dict, variables: Dict,
     v_min, v_max = float(vr[0]), float(vr[1])
     quant = scales is not None
 
-    fused_levels = tuple(range(min(2, depth - 1)))
+    if fused_levels is None:
+        fused_levels = tuple(range(min(2, depth - 1)))
 
     def fused_stage(x, kind: str, d: int):
         """width x fused ConvNext blocks, int8 (or float) Pallas I/O."""

@@ -42,10 +42,20 @@ has no boundary special cases; edge grid steps re-zero the pad rows of
 the output. Left/right borders are handled in-kernel with column masks
 (flattened row wrap-around must read as SAME zero padding).
 
+MEASURED OUTCOME (v5e, scan-chain K-differenced — full campaign in
+docs/QUANTIZATION.md round 3): per block this kernel is 2.8x faster than
+a STANDALONE XLA bf16 block chain (4.25 vs 11.8 ms at C32 b32 @256²),
+but the flagship's in-context XLA blocks cost only ~4.9 ms — within ~10%
+— so the end-to-end fused model is 0.93x. Ablation (all compute stages
+removed → same time; copy skeleton → 0.03 ms) shows the block is
+VPU-elementwise-bound, not HBM-bound, at these channel widths; the int8
+byte halving therefore doesn't convert to wall-clock on THIS model. The
+kernel ships as a tested option for architectures with lighter
+per-position work between the matmuls.
+
 Used by inference/fused.py (fused int8 serving path for the flagship
 family). Equivalence against layers/convnext.ConvNextBlock is tested in
-tests/test_pallas_convnext.py; honest K-differenced TPU timings live in
-docs/QUANTIZATION.md.
+tests/test_pallas_convnext.py.
 """
 
 import functools
@@ -63,16 +73,21 @@ LN_EPS = 1e-3  # DEFAULT_LN_EPSILON — constants.py / reference constants.py
 
 def _block_kernel(x_ref, dw_ref, ln_ref, w2_ref, w3_ref, g_ref, out_ref,
                   xs_raw, xs_deq, out_buf, zeros_buf, in_sem, out_sem,
-                  *, W, R, pad, C, E, H, scale_in, scale_out, slope,
+                  *, W, R, pad, C, E, H, nb, scale_in, scale_out, slope,
                   quant_io):
     """One grid step computes one row band of one batch element.
+
+    The grid is COLLAPSED to 1-D (batch * bands): measured on v5e, a 2-D
+    (B, bands) grid costs ~0.6 us/step more in Mosaic grid bookkeeping —
+    ~0.3 ms per block pass at the flagship's 512 steps (floor probe:
+    copy-skeleton 0.316 ms on the 2-D grid vs 0.031 ms on 1-D).
 
     Refs: x/out in HBM (manual halo DMA), weights resident in VMEM
     (dw [C, K*K], ln scale [C, 1], w2 [E, C], w3 [C, E], gamma [C, 1]).
     """
-    b = pl.program_id(0)
-    j = pl.program_id(1)
-    nb = pl.num_programs(1)
+    g = pl.program_id(0)
+    b = g // nb
+    j = jax.lax.rem(g, nb)
     K = 2 * pad + 1
     M = (R + 2 * pad) * W          # rows in the haloed input slab
     N = R * W                      # output lanes per band
@@ -207,17 +222,17 @@ def fused_convnext_block(x, dw_w, ln_scale, w2, w3, gamma_gain,
     io_dtype = x.dtype
     vm_dtype = jnp.bfloat16 if quant_io else io_dtype
 
+    nb = H // R
     kernel = functools.partial(
-        _block_kernel, W=W, R=R, pad=pad, C=C, E=E, H=H,
+        _block_kernel, W=W, R=R, pad=pad, C=C, E=E, H=H, nb=nb,
         scale_in=float(scale_in), scale_out=float(scale_out),
         slope=float(slope), quant_io=quant_io)
 
-    grid = (B, H // R)
     resident = lambda *shape: pl.BlockSpec(  # noqa: E731
-        shape, lambda b, j: (0,) * len(shape), memory_space=pltpu.VMEM)
+        shape, lambda g: (0,) * len(shape), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(B * nb,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),       # x (HBM, manual DMA)
             resident(C, K * K),                          # dw

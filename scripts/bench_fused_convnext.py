@@ -108,5 +108,33 @@ def main():
         print(json.dumps(r), flush=True)
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--ablate" not in sys.argv:
     main()
+
+
+def ablate():
+    """Attribution: time the L0 shape with kernel stages skipped.
+
+    Requires the kernel module to expose an _ABLATE set (the shipping
+    kernel dropped it after the attribution campaign concluded — see
+    docs/QUANTIZATION.md round-3 findings); kept for re-running the
+    methodology against future kernel revisions."""
+    import blind_image_denoising_tpu.ops.pallas_convnext as pc
+    if not hasattr(pc, "_ABLATE"):
+        print("kernel has no _ABLATE hook — re-add it to attribute stages")
+        return
+    for ab in [set(), {"dw"}, {"ln"}, {"matmul"}, {"edges"},
+               {"dw", "ln", "matmul", "edges"}]:
+        pc._ABLATE.clear()
+        pc._ABLATE.update(ab)
+        # new ablation set -> force a fresh jit cache entry
+        pc.fused_convnext_block._clear_cache()
+        r = bench_shape(32, 32, 128, 256, 256)
+        print(json.dumps({"ablate": sorted(ab) or ["none"],
+                          "fused_ms": r["fused_int8_ms"]}), flush=True)
+    pc._ABLATE.clear()
+
+
+if __name__ == "__main__" and "--ablate" in sys.argv:
+    import jax
+    ablate()

@@ -58,8 +58,9 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _launch_two_ranks(cfg_path, ckpt_dir, tmp_path):
-    """Run both ranks to completion; returns (returncodes, outputs)."""
+def _launch_ranks(cfg_path, ckpt_dir, tmp_path, n_ranks=2,
+                  local_devices=4):
+    """Run all ranks to completion; returns (returncodes, outputs)."""
     port = _free_port()
     env = dict(os.environ)
     # each process picks its own virtual device count via
@@ -68,16 +69,16 @@ def _launch_two_ranks(cfg_path, ckpt_dir, tmp_path):
     env.pop("PYTHONPATH", None)
 
     procs = []
-    for rank in range(2):
+    for rank in range(n_ranks):
         procs.append(subprocess.Popen(
             [sys.executable, "-m", "blind_image_denoising_tpu.train",
              "--pipeline-config", str(cfg_path),
              "--checkpoint-directory", str(ckpt_dir),
              "--platform", "cpu",
              "--coordinator-address", f"localhost:{port}",
-             "--num-processes", "2",
+             "--num-processes", str(n_ranks),
              "--process-id", str(rank),
-             "--local-device-count", "4"],
+             "--local-device-count", str(local_devices)],
             cwd=REPO, env=env,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
 
@@ -92,6 +93,11 @@ def _launch_two_ranks(cfg_path, ckpt_dir, tmp_path):
         outs.append(out)
         (tmp_path / f"rank{rank}.log").write_text(out)  # post-mortem aid
     return [p.returncode for p in procs], outs
+
+
+def _launch_two_ranks(cfg_path, ckpt_dir, tmp_path):
+    return _launch_ranks(cfg_path, ckpt_dir, tmp_path, n_ranks=2,
+                         local_devices=4)
 
 
 def test_two_process_train(tmp_path):
@@ -140,6 +146,43 @@ def test_two_process_train(tmp_path):
             f"resume rank {rank} failed (logs in {tmp_path}):\n{out[-4000:]}"
     assert any("restored checkpoint step 3" in o for o in outs), \
         outs[0][-1500:]
+    steps = [json.loads(l)["step"] for l in metrics.read_text().splitlines()]
+    assert 5 in steps and steps.count(5) == 1
+
+
+def test_four_process_train_and_resume(tmp_path):
+    """Multi-host breadth (VERDICT r2 #8): 4 processes x 2 devices —
+    train to step 3, then relaunch all four ranks against the same
+    checkpoint directory and continue to step 5 (pod preemption
+    recovery at 4-way process parallelism). One bounded retry covers the
+    documented coordinator-init load flake."""
+    cfg = json.loads(json.dumps(TINY_CONFIG))
+    cfg_path = tmp_path / "config.json"
+    cfg_path.write_text(json.dumps(cfg))
+    ckpt_dir = tmp_path / "run"
+
+    rcs, outs = _launch_ranks(cfg_path, ckpt_dir, tmp_path,
+                              n_ranks=4, local_devices=2)
+    if any(rcs):
+        import shutil
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+        rcs, outs = _launch_ranks(cfg_path, ckpt_dir, tmp_path,
+                                  n_ranks=4, local_devices=2)
+    for rank, (rc, out) in enumerate(zip(rcs, outs)):
+        assert rc == 0, \
+            f"rank {rank} failed (logs in {tmp_path}):\n{out[-4000:]}"
+    assert any("over 8 devices" in o for o in outs[:1]), outs[0][-2000:]
+
+    cfg["train"] = dict(cfg["train"], total_steps=5, checkpoint_every=5)
+    cfg_path.write_text(json.dumps(cfg))
+    rcs, outs = _launch_ranks(cfg_path, ckpt_dir, tmp_path,
+                              n_ranks=4, local_devices=2)
+    for rank, (rc, out) in enumerate(zip(rcs, outs)):
+        assert rc == 0, \
+            f"resume rank {rank} failed (logs in {tmp_path}):\n{out[-4000:]}"
+    assert any("restored checkpoint step 3" in o for o in outs), \
+        outs[0][-1500:]
+    metrics = ckpt_dir / "metrics.jsonl"
     steps = [json.loads(l)["step"] for l in metrics.read_text().splitlines()]
     assert 5 in steps and steps.count(5) == 1
 

@@ -34,8 +34,10 @@ def test_cf_padded_round_trip():
                     jnp.float32)
     cf = to_cf_padded(x, pad=2)
     assert cf.shape == (2, 32, 12 * 128)
+    grid = cf.reshape(2, 32, 12, 128)
     # pad rows are zero
-    assert float(jnp.abs(cf.reshape(2, 32, 12, 128)[:, :, :2]).max()) == 0.0
+    assert float(jnp.abs(grid[:, :, :2]).max()) == 0.0
+    assert float(jnp.abs(grid[:, :, -2:]).max()) == 0.0
     back = from_cf_padded(cf, H=8, W=128, pad=2)
     np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
 
@@ -124,6 +126,6 @@ def test_fused_block_pad_rows_rezeroed():
     out = fused_convnext_block(
         to_cf_padded(x, pad=2), **weights, H=H, W=W, pad=2,
         rows=H // 2, interpret=True)
-    rows = out.reshape(1, C, H + 4, W)
-    assert float(jnp.abs(rows[:, :, :2]).max()) == 0.0
-    assert float(jnp.abs(rows[:, :, H + 2:]).max()) == 0.0
+    grid = out.reshape(1, C, H + 4, W)
+    assert float(jnp.abs(grid[:, :, :2]).max()) == 0.0
+    assert float(jnp.abs(grid[:, :, H + 2:]).max()) == 0.0
