@@ -83,7 +83,8 @@ for _root in _search_dirs:
             continue
         if any((_d / f).is_file() for f in
                ("params.msgpack", "model_hydra.keras",
-                "denoiser_model.tflite")):
+                "denoiser_model.tflite", "saved_model.pb",
+                "denoiser/saved_model.pb")):
             models[_d.name] = {
                 "directory": str(_d),
                 "configuration": str(_d / "pipeline.json"),
@@ -125,6 +126,17 @@ def load_model(name_or_path, quant: bool = False):
             return Denoiser(model, variables, pad_mode="pow2")
         except Exception as e:
             logger.warning(f"native .keras import failed ({e}); "
+                           f"falling back to the TFLite graph")
+    from .inference.savedmodel import find_savedmodel
+    sm_path = find_savedmodel(path)
+    if sm_path is not None:
+        # reference SavedModel directory (reference __init__.py:88-90) —
+        # executed by TF; preferred over the quantized TFLite graph
+        from .inference.savedmodel import load_savedmodel_denoiser
+        try:
+            return load_savedmodel_denoiser(sm_path)
+        except Exception as e:
+            logger.warning(f"SavedModel load failed ({e}); "
                            f"falling back to the TFLite graph")
     tflite_path = _os.path.join(path, "denoiser_model.tflite")
     if _os.path.isfile(tflite_path):

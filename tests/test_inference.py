@@ -164,6 +164,52 @@ def test_tflite_emission_round_trip(tmp_path):
             f"tflite interpreter drift at {shape}"
 
 
+def test_savedmodel_round_trip(tmp_path):
+    """SavedModel interchange (reference __init__.py:88-90): export a
+    reference-style SavedModel (uint8 [1,None,None,C] DenoiserModule
+    signature) from the JAX forward, then load the DIRECTORY through
+    bid.load_model — the arriving-reference-user path — and match the
+    native Denoiser output exactly."""
+    pytest.importorskip("tensorflow")
+    import blind_image_denoising_tpu as bid
+    from blind_image_denoising_tpu.models.hydra import model_builder
+    from blind_image_denoising_tpu.inference.denoiser import Denoiser
+    from blind_image_denoising_tpu.inference.savedmodel import (
+        save_denoiser_savedmodel)
+
+    cfg = {"backbone": {
+        "type": "resnet", "input_shape": ["?", "?", 3], "filters": 4,
+        "no_layers": 1, "kernel_size": 3, "block_kernels": [3],
+        "block_filters": [4], "activation": "relu", "batchnorm": False,
+        "value_range": [0, 255], "kernel_regularizer": "l1",
+        "kernel_initializer": "glorot_normal"},
+        "denoiser": {"use_bias": False, "output_channels": 3}}
+    hydra = model_builder(cfg).hydra
+    variables = hydra.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 32, 32, 3)), train=False)
+    variables = {k: v for k, v in variables.items()
+                 if k in ("params", "batch_stats")}
+
+    # reference directory layout: artifact_dir/denoiser/<SavedModel>
+    art = tmp_path / "artifact"
+    save_denoiser_savedmodel(hydra, variables, str(art / "denoiser"))
+    den = bid.load_model(str(art))
+
+    rng = np.random.default_rng(0)
+    for shape in [(32, 32, 3), (2, 48, 64, 3)]:
+        x = rng.integers(0, 256, shape, dtype=np.uint8)
+        got = den(x)
+        assert got.shape == x.shape and got.dtype == np.uint8
+        ref = np.asarray(hydra.apply(
+            variables, (x if x.ndim == 4 else x[None]).astype(np.float32),
+            train=False)[0])
+        ref = np.clip(np.round(ref), 0, 255).astype(np.uint8)
+        got4 = got if got.ndim == 4 else got[None]
+        # identical graph, CPU: at most the round() boundary flips
+        assert np.mean(np.abs(got4.astype(int) - ref.astype(int)) > 1) \
+            < 1e-3
+
+
 def test_denoiser_pad_modes_and_tiling(tiny_denoiser):
     """pad='multiple' and row tiling agree with the pow2 path — the model
     is fully convolutional so all give the same pixels."""
