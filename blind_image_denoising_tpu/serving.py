@@ -48,10 +48,18 @@ class BatchingDenoiser:
     """
 
     def __init__(self, denoiser: Callable, max_batch: int = 32,
-                 max_wait_ms: float = 5.0):
+                 max_wait_ms: float = 5.0, pad_batches: bool = True):
         self._denoiser = denoiser
         self._max_batch = int(max_batch)
         self._max_wait = float(max_wait_ms) / 1e3
+        # pad_batches: round every formed batch UP to a power-of-two
+        # bucket (repeating the last image; extra outputs discarded).
+        # Without this every distinct batch size is a fresh XLA
+        # compilation — measured on the TPU tunnel as multi-SECOND p99
+        # spikes whenever traffic makes a size it hasn't seen
+        # (docs/SERVING.md). With it at most log2(max_batch)+1 programs
+        # exist per image shape.
+        self._pad_batches = bool(pad_batches)
         self._q: "queue.Queue[_Pending]" = queue.Queue()
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._run, daemon=True)
@@ -59,6 +67,16 @@ class BatchingDenoiser:
 
     def close(self):
         self._stop.set()
+
+    def warm(self, shape) -> None:
+        """Precompile every batch bucket for one image shape [H, W, C]
+        (first XLA compilation per shape costs seconds to minutes on
+        TPU; a serving process should pay that at startup, not on the
+        first unlucky request)."""
+        b = 1
+        while b <= self._max_batch:
+            self._denoiser(np.zeros((b,) + tuple(shape), np.uint8))
+            b *= 2
 
     def __call__(self, image: np.ndarray) -> np.ndarray:
         """image: uint8 [H, W, C]; blocks until the batch containing it
@@ -107,6 +125,13 @@ class BatchingDenoiser:
                 continue
             try:
                 stacked = np.stack([p.image for p in batch], axis=0)
+                n = stacked.shape[0]
+                if self._pad_batches and n > 1:
+                    bucket = 1 << (n - 1).bit_length()   # next power of 2
+                    bucket = min(bucket, self._max_batch)
+                    if bucket > n:
+                        fill = np.repeat(stacked[-1:], bucket - n, axis=0)
+                        stacked = np.concatenate([stacked, fill], axis=0)
                 out = np.asarray(self._denoiser(stacked))
                 for i, p in enumerate(batch):
                     p.result = out[i]
@@ -175,6 +200,10 @@ def main(argv=None) -> int:
     parser.add_argument("--quant", action="store_true",
                         help="serve the artifact's int8 path "
                              "(needs quant.msgpack; docs/QUANTIZATION.md)")
+    parser.add_argument("--warm-shape", default=None, type=str,
+                        help="precompile all batch buckets for an "
+                             "expected image shape at startup, e.g. "
+                             "'256,256,3' (docs/SERVING.md)")
     args = parser.parse_args(argv)
 
     if args.platform:
@@ -187,6 +216,10 @@ def main(argv=None) -> int:
     batcher = BatchingDenoiser(bid.load_model(args.model, quant=args.quant),
                                max_batch=args.max_batch,
                                max_wait_ms=args.max_wait_ms)
+    if args.warm_shape:
+        shape = tuple(int(v) for v in args.warm_shape.split(","))
+        logger.info(f"warming batch buckets for shape {shape}")
+        batcher.warm(shape)
     server = ThreadingHTTPServer((args.host, args.port),
                                  _make_handler(batcher))
     logger.info(f"serving {args.model} on {args.host}:{args.port}")

@@ -69,10 +69,15 @@ def main():
     model = sys.argv[1] if len(sys.argv) > 1 else "unet_laplacian_v56_highnoise"
     den = bid.load_model(model)
 
-    # warm both shape buckets once (first TPU compile is minutes through
-    # the tunnel; serving would do this at startup)
+    # warm every batch bucket of both shapes (the startup cost a real
+    # server pays via --warm-shape; without it the first request at each
+    # new batch size eats an XLA compile — measured as multi-second p99
+    # spikes, docs/SERVING.md)
+    from blind_image_denoising_tpu.serving import BatchingDenoiser as _B
+    warmer = _B(den, max_batch=32)
     for s in (SHAPE, ALT_SHAPE):
-        den(np.zeros((1,) + s, np.uint8))
+        warmer.warm(s)
+    warmer.close()
     print("warmup done", flush=True)
 
     results = {"model": model}
