@@ -50,6 +50,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=20000)
     ap.add_argument("--workdir", default="/tmp/resnet_scratch")
+    ap.add_argument(
+        "--config",
+        default="resnet_color_1x6_bn_32x128x32_1x3x1_128x128_depthwise"
+                "_l1_relu",
+        help="packaged config name (e.g. unet_laplacian_v6 for the "
+             "flagship from-scratch milestone)")
     ap.add_argument("--skip-train", action="store_true",
                     help="evaluate an existing checkpoint only")
     args = ap.parse_args()
@@ -65,11 +71,11 @@ def main():
                 os.symlink(os.path.join(KITTI_DIR, f), train_files / f)
 
     import blind_image_denoising_tpu as bid
-    cfg = json.loads(json.dumps(
-        bid.CONFIGS_DICT[
-            "resnet_color_1x6_bn_32x128x32_1x3x1_128x128_depthwise_l1_relu"]))
+    cfg = json.loads(json.dumps(bid.CONFIGS_DICT[args.config]))
     cfg["dataset"]["inputs"] = [{"directory": str(train_files)},
                                 {"directory": MEGADEPTH_DIR}]
+    cfg["dataset"]["input_shape"] = [128, 128, 3]
+    cfg["dataset"]["batch_size"] = 16
     cfg["dataset"]["repeat"] = True
     cfg["dataset"]["additional_noise"] = [1, 80]   # full README sweep range
     cfg["dataset"]["no_crops_per_image"] = 4
