@@ -56,6 +56,8 @@ def main():
                 "_l1_relu",
         help="packaged config name (e.g. unet_laplacian_v6 for the "
              "flagship from-scratch milestone)")
+    ap.add_argument("--grad-accum", type=int, default=None,
+                    help="override train.gpu_batches_per_step")
     ap.add_argument("--skip-train", action="store_true",
                     help="evaluate an existing checkpoint only")
     args = ap.parse_args()
@@ -82,6 +84,8 @@ def main():
     cfg["dataset"]["min_crop_std"] = 2.0
     cfg["train"]["epochs"] = -1
     cfg["train"]["total_steps"] = args.steps
+    if args.grad_accum is not None:
+        cfg["train"]["gpu_batches_per_step"] = args.grad_accum
     cfg["train"]["checkpoint_every"] = 5000
     cfg["train"]["visualization_every"] = -1
     cfg["train"]["use_test_images"] = False
