@@ -81,12 +81,18 @@ def supports_fused(backbone_cfg: Dict) -> bool:
     return bool(ok)
 
 
-def _level_filters(cfg: Dict, d: int) -> int:
-    filters = int(cfg.get("filters", 32))
-    mult = float(cfg.get("filters_level_multiplier", 2.0))
-    max_f = int(cfg.get("max_filters", -1))
-    f = int(round(filters * max(1.0, mult ** d)))
-    return min(max_f, f) if max_f > 0 else f
+def supports_fused_head(denoiser_cfg: Dict) -> bool:
+    """True when the denoiser-head config is in ``_head``'s subset: the
+    head math below implements activation in {leaky_relu_01, linear} and
+    no BN/LN/bias (the packaged flagship's settings — models/hydra.py:95).
+    Anything else must go through the standard hydra path."""
+    c = denoiser_cfg
+    return bool(
+        c.get("activation", "linear") in ("leaky_relu_01", "linear")
+        and not c.get("use_bn", False)
+        and not c.get("use_ln", False)
+        and not c.get("use_bias", False)
+    )
 
 
 def _conv(x, kernel, strides=(1, 1), groups=1, dtype=jnp.bfloat16):
@@ -148,12 +154,12 @@ def _head(p, cfg: Dict, x):
     return jnp.tanh(2.0 * y) * jnp.asarray(0.51, y.dtype)
 
 
-def _stage_sites(depth: int, width: int) -> List[str]:
+def _stage_sites(levels, width: int) -> List[str]:
     """Calibration-site names: one for each fused stage input and each
-    fused block output, per level d in {0, 1}."""
+    fused block output, per fused level."""
     names = []
     for kind in ("encoder", "decoder"):
-        for d in range(min(2, depth - 1)):
+        for d in sorted(levels):
             names.append(f"{kind}_{d}_in")
             for w in range(width):
                 names.append(f"{kind}_{d}_{w}_out")
@@ -186,8 +192,13 @@ def build_fused_forward(config: Dict, variables: Dict,
     bcfg = dict(config["backbone"])
     dcfg = dict(config["denoiser"])
     if not supports_fused(bcfg):
-        raise ValueError("config outside the fused path's supported "
-                         "subset — use the standard hydra path")
+        raise ValueError("backbone config outside the fused path's "
+                         "supported subset — use the standard hydra path")
+    if not supports_fused_head(dcfg):
+        raise ValueError("denoiser-head config outside the fused path's "
+                         "supported subset (needs leaky_relu_01/linear "
+                         "activation, no BN/LN/bias) — use the standard "
+                         "hydra path")
     params = variables["params"]
     bb = params["backbone"]
     depth = int(bcfg.get("depth", 5))
@@ -286,7 +297,7 @@ def build_fused_forward(config: Dict, variables: Dict,
             outputs.append(denormalize(y, v_min, v_max))
         return outputs
 
-    return fwd, _stage_sites(depth, width)
+    return fwd, _stage_sites(fused_levels, width)
 
 
 def calibrate_fused(config: Dict, variables: Dict, images,

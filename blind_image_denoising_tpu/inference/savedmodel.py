@@ -46,6 +46,17 @@ def load_savedmodel_denoiser(path: str) -> Callable:
     if getattr(m, "signatures", None) and "serving_default" in m.signatures:
         sig = m.signatures["serving_default"]
 
+    # a genuine reference export has a FIXED batch-1 [1, None, None, C]
+    # signature (reference export_model.py:129-132) — batched inputs must
+    # be fed image-by-image or TF rejects the shape
+    batch_fixed = None
+    if sig is not None:
+        specs = [s for s in tf.nest.flatten(sig.structured_input_signature,
+                                            expand_composites=True)
+                 if isinstance(s, tf.TensorSpec)]
+        if len(specs) == 1 and specs[0].shape.rank == 4:
+            batch_fixed = specs[0].shape[0]  # None when polymorphic
+
     def call(x):
         if sig is not None:
             out = sig(tf.constant(x))
@@ -55,14 +66,26 @@ def load_savedmodel_denoiser(path: str) -> Callable:
         return m(x)
 
     logger.info(f"loaded SavedModel from {path}"
-                + (" (serving_default)" if sig is not None else ""))
+                + (" (serving_default)" if sig is not None else "")
+                + (f" (fixed batch {batch_fixed})"
+                   if batch_fixed is not None else ""))
 
     def denoiser(image: np.ndarray) -> np.ndarray:
         x = np.asarray(image)
         squeeze = x.ndim == 3
         if squeeze:
             x = x[None]
-        y = np.asarray(call(x.astype(np.uint8)))
+        x = x.astype(np.uint8)
+        if batch_fixed is not None and x.shape[0] != batch_fixed:
+            if batch_fixed != 1:
+                raise ValueError(
+                    f"SavedModel signature has fixed batch {batch_fixed}; "
+                    f"got batch {x.shape[0]}")
+            y = np.concatenate(
+                [np.asarray(call(x[i:i + 1])) for i in range(x.shape[0])],
+                axis=0)
+        else:
+            y = np.asarray(call(x))
         if y.dtype != np.uint8:
             y = np.clip(np.round(y), 0, 255).astype(np.uint8)
         return y[0] if squeeze else y

@@ -57,8 +57,9 @@ class BatchingDenoiser:
         # Without this every distinct batch size is a fresh XLA
         # compilation — measured on the TPU tunnel as multi-SECOND p99
         # spikes whenever traffic makes a size it hasn't seen
-        # (docs/SERVING.md). With it at most log2(max_batch)+1 programs
-        # exist per image shape.
+        # (docs/SERVING.md). With it at most ~log2(max_batch)+2 programs
+        # exist per image shape (powers of two below max_batch, plus
+        # max_batch itself when it is not a power of two).
         self._pad_batches = bool(pad_batches)
         self._q: "queue.Queue[_Pending]" = queue.Queue()
         self._stop = threading.Event()
@@ -73,10 +74,16 @@ class BatchingDenoiser:
         (first XLA compilation per shape costs seconds to minutes on
         TPU; a serving process should pay that at startup, not on the
         first unlucky request)."""
+        sizes = []
         b = 1
-        while b <= self._max_batch:
-            self._denoiser(np.zeros((b,) + tuple(shape), np.uint8))
+        while b < self._max_batch:
+            sizes.append(b)
             b *= 2
+        # _run clamps every bucket to max_batch, so a non-power-of-two
+        # max_batch is itself a reachable bucket size
+        sizes.append(self._max_batch)
+        for b in sizes:
+            self._denoiser(np.zeros((b,) + tuple(shape), np.uint8))
 
     def __call__(self, image: np.ndarray) -> np.ndarray:
         """image: uint8 [H, W, C]; blocks until the batch containing it

@@ -158,9 +158,11 @@ def train_loop(
             f"multi-host mesh dcn={dcn} x data={data} x spatial={spatial} "
             f"covers {dcn * data * spatial} of {len(jax.devices())} global "
             f"devices (data was clamped to divide batch_size={batch_size}); "
-            f"every process must own mesh devices — use a global batch_size "
-            f"divisible by dcn*data over all devices, or shrink the mesh "
-            f"via tpu.mesh")
+            f"every process must own mesh devices — use a global "
+            f"batch_size divisible by "
+            f"{len(jax.devices()) // (spatial * dcn) * dcn} (so 'data' can "
+            f"span all devices), or raise tpu.mesh.spatial/dcn so "
+            f"dcn*data*spatial covers all {len(jax.devices())} devices")
     mesh = create_mesh(data=data, spatial=spatial, dcn=dcn)
     # tpu.mesh.spatial_training: also shard the crop's H dim over the
     # 'spatial' axis inside the train step (GSPMD auto-halo) — train on

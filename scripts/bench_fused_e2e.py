@@ -71,7 +71,7 @@ def main():
     # scale-independent)
     depth = int(cfg["backbone"].get("depth", 5))
     width = int(cfg["backbone"].get("width", 1))
-    scales = {s: 0.05 for s in _stage_sites(depth, width)}
+    scales = {s: 0.05 for s in _stage_sites(range(min(2, depth - 1)), width)}
     fwd, _ = build_fused_forward(cfg, variables, scales=scales)
 
     def make_chain_fused(k):

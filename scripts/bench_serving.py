@@ -73,8 +73,7 @@ def main():
     # server pays via --warm-shape; without it the first request at each
     # new batch size eats an XLA compile — measured as multi-second p99
     # spikes, docs/SERVING.md)
-    from blind_image_denoising_tpu.serving import BatchingDenoiser as _B
-    warmer = _B(den, max_batch=32)
+    warmer = BatchingDenoiser(den, max_batch=32)
     for s in (SHAPE, ALT_SHAPE):
         warmer.warm(s)
     warmer.close()

@@ -36,7 +36,7 @@ def main():
         .astype(np.float32))
     depth = int(cfg["backbone"].get("depth", 5))
     width = int(cfg["backbone"].get("width", 1))
-    scales = {s: 0.05 for s in _stage_sites(depth, width)}
+    scales = {s: 0.05 for s in _stage_sites(range(min(2, depth - 1)), width)}
 
     def timed(f, *args, reps=4):
         float(f(*args))

@@ -98,10 +98,6 @@ V56_KERAS = ("/root/reference/bfcnn/pretrained/unet_laplacian_v5.6/"
              "model_hydra.keras")
 
 
-@pytest.mark.skipif(not os.path.isfile(V56_KERAS),
-                    reason="reference pretrained artifact not mounted")
-@pytest.mark.skipif(not os.path.isdir(KITTI_DIR),
-                    reason="KITTI test frames not mounted")
 def _kitti_crops(width: int) -> np.ndarray:
     from blind_image_denoising_tpu.data.file_operations import load_image
     crops = []
@@ -113,6 +109,10 @@ def _kitti_crops(width: int) -> np.ndarray:
     return np.stack(crops, axis=0).astype(np.float32)
 
 
+@pytest.mark.skipif(not os.path.isfile(V56_KERAS),
+                    reason="reference pretrained artifact not mounted")
+@pytest.mark.skipif(not os.path.isdir(KITTI_DIR),
+                    reason="KITTI test frames not mounted")
 def test_acceptance_gate_all_kitti_full_sweep():
     """Reference-strength acceptance gate (test_pretrained.py:63-80 parity):
     the FULL product — every mounted KITTI frame at every std in
