@@ -63,6 +63,15 @@ def test_supports_fused_guards():
     with pytest.raises(ValueError, match="supported"):
         build_fused_forward({"backbone": bad,
                              "denoiser": TINY_FLAGSHIP["denoiser"]}, {})
+    # the denoiser-head subset is guarded too: _head implements only
+    # leaky_relu_01/linear with no BN/LN/bias — anything else must raise,
+    # not silently drop the option
+    for bad_head in (dict(TINY_FLAGSHIP["denoiser"], activation="relu"),
+                     dict(TINY_FLAGSHIP["denoiser"], use_ln=True),
+                     dict(TINY_FLAGSHIP["denoiser"], use_bias=True)):
+        with pytest.raises(ValueError, match="denoiser-head"):
+            build_fused_forward({"backbone": TINY_FLAGSHIP["backbone"],
+                                 "denoiser": bad_head}, {})
 
 
 def test_fused_float_matches_hydra(flagship):

@@ -210,6 +210,31 @@ def test_savedmodel_round_trip(tmp_path):
             < 1e-3
 
 
+def test_savedmodel_fixed_batch1_signature(tmp_path):
+    """A GENUINE reference export has a fixed batch-1 [1,None,None,C]
+    signature (reference export_model.py:129-132); batched inputs must be
+    fed image-by-image, not rejected by TF shape validation."""
+    tf = pytest.importorskip("tensorflow")
+    from blind_image_denoising_tpu.inference.savedmodel import (
+        load_savedmodel_denoiser)
+
+    class M(tf.Module):
+        @tf.function(input_signature=[
+            tf.TensorSpec([1, None, None, 3], tf.uint8)])
+        def __call__(self, x):
+            return 255 - x  # visible transformation
+
+    m = M()
+    d = tmp_path / "denoiser"
+    tf.saved_model.save(m, str(d),
+                        signatures=m.__call__.get_concrete_function())
+    den = load_savedmodel_denoiser(str(d))
+    x = np.random.default_rng(0).integers(0, 256, (3, 16, 16, 3),
+                                          dtype=np.uint8)
+    np.testing.assert_array_equal(den(x), 255 - x)          # batched
+    np.testing.assert_array_equal(den(x[0]), 255 - x[0])    # single
+
+
 def test_denoiser_pad_modes_and_tiling(tiny_denoiser):
     """pad='multiple' and row tiling agree with the pow2 path — the model
     is fully convolutional so all give the same pixels."""

@@ -108,3 +108,16 @@ def test_http_endpoint_roundtrip():
     finally:
         server.shutdown()
         batcher.close()
+
+
+def test_warm_covers_non_pow2_max_batch():
+    """warm() must precompile every bucket _run can form — including
+    max_batch itself when it is not a power of two (run-time bucket
+    clamping makes it reachable)."""
+    model = _RecordingDenoiser()
+    b = BatchingDenoiser(model, max_batch=3)
+    try:
+        b.warm((8, 8, 3))
+        assert model.batch_sizes == [1, 2, 3]
+    finally:
+        b.close()
