@@ -178,11 +178,16 @@ class _EpochIterable:
                             img = load_image(path,
                                              num_channels=self._channels,
                                              dtype=np.float32)
-                            if not self._cache_full:
-                                self._cache[path] = img
-                                self._cache_bytes += img.nbytes
-                                if self._cache_bytes > self.CACHE_LIMIT_BYTES:
-                                    self._cache_full = True
+                            # bookkeeping under the lock: racing unlocked
+                            # += from N workers loses updates and lets the
+                            # cache overshoot its byte limit
+                            with lock:
+                                if not self._cache_full:
+                                    self._cache[path] = img
+                                    self._cache_bytes += img.nbytes
+                                    if (self._cache_bytes
+                                            > self.CACHE_LIMIT_BYTES):
+                                        self._cache_full = True
                         crops = random_crops(img, self._crop_size,
                                              self._no_crops, wrng,
                                              min_crop_std=self._min_crop_std,

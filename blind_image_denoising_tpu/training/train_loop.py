@@ -35,7 +35,6 @@ from ..logger import logger
 from ..models.hydra import model_builder
 from ..ops.losses import mae, psnr
 from ..ops.noise import corrupt_batch_fixed_std
-from ..ops.padding import pad_to_power_of_2, remove_padding
 from ..parallel.mesh import create_mesh, shard_train_step
 from .checkpoint import CheckpointManager
 from .losses import loss_function_builder
@@ -163,6 +162,16 @@ def train_loop(
             f"{len(jax.devices()) // (spatial * dcn) * dcn} (so 'data' can "
             f"span all devices), or raise tpu.mesh.spatial/dcn so "
             f"dcn*data*spatial covers all {len(jax.devices())} devices")
+    if dcn * data * spatial < len(jax.devices()):
+        # single-host: legal, but silently idling chips surprises people —
+        # say so (the multi-host case above is a hard error instead)
+        logger.warning(
+            f"mesh dcn={dcn} x data={data} x spatial={spatial} uses "
+            f"{dcn * data * spatial} of {len(jax.devices())} devices "
+            f"(data clamped to divide batch_size={batch_size}); use a "
+            f"batch_size divisible by "
+            f"{len(jax.devices()) // (spatial * dcn) * dcn} to engage "
+            f"every device")
     mesh = create_mesh(data=data, spatial=spatial, dcn=dcn)
     # tpu.mesh.spatial_training: also shard the crop's H dim over the
     # 'spatial' axis inside the train step (GSPMD auto-halo) — train on
@@ -325,7 +334,12 @@ def train_loop(
             pass
 
     try:
-      while not finished and (epochs == -1 or int(state.epoch) < epochs):
+      # epochs -1 is epochless (until killed / total_steps); epochs 0 with
+      # total_steps > 0 is the step-bounded epochless mode the in-loop
+      # deep-supervision ramp already handles — without total_steps it
+      # stays a no-op (0 epochs)
+      epochless = epochs == -1 or (epochs == 0 and total_steps > 0)
+      while not finished and (epochless or int(state.epoch) < epochs):
         epoch = int(state.epoch)
         if epochs not in (-1, 0):
             pct_done = epoch / float(epochs)
@@ -380,7 +394,11 @@ def train_loop(
                 with trace(os.path.join(str(ckpt_dir), "profile")):
                     state, metrics = step_fn(state, batch_dev, step_key,
                                              depth_weights)
-                    jax.block_until_ready(metrics)
+                    # device_get truly blocks; block_until_ready returns
+                    # EARLY through the axon tunnel (CLAUDE.md) and would
+                    # stop the trace before the step executed
+                    float(np.asarray(jax.device_get(
+                        metrics[TOTAL_LOSS_STR])))
             else:
                 state, metrics = step_fn(state, batch_dev, step_key,
                                          depth_weights)
@@ -408,9 +426,13 @@ def train_loop(
                 _noise_sweep_eval(eval_step, state, eval_batch, writer, step,
                                   max_images=int(train_config.get(
                                       "visualization_number", 4)))
-                _weight_stats(state, writer, step)
-                _weight_figures(state, writer, step)
-                _gradient_figures(last_grad_stats, writer, step)
+                # figure/stat building is pure host work whose writes are
+                # no-ops off the primary — don't duplicate it N-1 times
+                # (the sweep above runs everywhere: it computes on device)
+                if multihost.is_primary():
+                    _weight_stats(state, writer, step)
+                    _weight_figures(state, writer, step)
+                    _gradient_figures(last_grad_stats, writer, step)
 
             if checkpoint_every > 0 and step % checkpoint_every == 0:
                 manager.save(state, force=True)
@@ -429,14 +451,22 @@ def train_loop(
                     logger.warning(f"final metrics fetch failed: {e}")
                 pending_metrics = None
 
-        state = state.replace(epoch=state.epoch + 1)
+        if not preempted["flag"]:
+            # a preemption (SIGTERM/SIGINT) break mid-epoch must NOT
+            # advance the epoch counter: resume has to continue inside the
+            # interrupted epoch, not silently skip its remainder (per-epoch
+            # pruning below is skipped for the same reason). A total_steps
+            # exit still counts the epoch complete — the step bound IS the
+            # configured end of training.
+            state = state.replace(epoch=state.epoch + 1)
 
         # optional per-epoch weight pruning (train.prune). The reference
         # ships the pruning strategies but never invokes them from its
         # loop (its pruning.py is orphaned); here the documented config
         # schema actually works: prune on the host, continue training.
         prune_cfg = train_config.get("prune")
-        if prune_cfg and prune_cfg.get("strategy", "NONE") != "NONE" \
+        if not preempted["flag"] and prune_cfg \
+                and prune_cfg.get("strategy", "NONE") != "NONE" \
                 and int(state.epoch) % int(prune_cfg.get(
                     "every_epochs", 1)) == 0:
             from ..pruning import prune_function_builder, prune_params

@@ -197,3 +197,64 @@ def test_dcn_mesh_via_train_loop(tmp_path):
     assert int(state.step) == 2
     lines = (tmp_path / "ckpt" / "metrics.jsonl").read_text().splitlines()
     assert any(json.loads(l)["step"] == 2 for l in lines)
+
+
+def test_preemption_midepoch_resumes_inside_epoch(tmp_path, monkeypatch):
+    """A SIGTERM break mid-epoch must NOT advance the epoch counter:
+    resume continues the interrupted epoch instead of skipping its
+    remainder (a preempted epochs=1 run used to resume as 'complete'
+    having seen only a few batches)."""
+    import signal
+    from blind_image_denoising_tpu.training.train_loop import train_loop
+    from blind_image_denoising_tpu.data import prefetch as pf
+
+    cfg = {
+        "model": {"backbone": {
+            "type": "resnet", "input_shape": ["?", "?", 3], "filters": 4,
+            "no_layers": 1, "kernel_size": 3, "block_kernels": [3],
+            "block_filters": [4], "activation": "relu", "batchnorm": False,
+            "value_range": [0, 255], "kernel_regularizer": "l1"},
+            "denoiser": {"use_bias": False, "output_channels": 3}},
+        "train": {"epochs": 1, "checkpoint_every": -1,
+                  "visualization_every": -1, "use_test_images": False,
+                  "optimizer": {"type": "adam", "schedule": {
+                      "type": "cosine_decay", "config": {
+                          "learning_rate": 0.001, "decay_steps": 100}}}},
+        "loss": {"hinge": 0.0, "mae_multiplier": 1.0, "ssim_multiplier": -1.0},
+        "dataset": {"batch_size": 2, "input_shape": [16, 16, 3],
+                    "additional_noise": [1, 10], "inputs": []},
+    }
+
+    fired = {"done": False}
+    real_dp = pf.device_prefetch
+
+    def preempting_dp(it, **kw):
+        inner = real_dp(it, **kw)
+
+        class Wrap:
+            def __iter__(self):
+                for i, b in enumerate(inner):
+                    if i == 1 and not fired["done"]:
+                        fired["done"] = True
+                        # delivered synchronously in the main thread —
+                        # train_loop's installed handler sets the flag
+                        signal.raise_signal(signal.SIGTERM)
+                    yield b
+
+            def close(self):
+                inner.close()
+
+        return Wrap()
+
+    monkeypatch.setattr(pf, "device_prefetch", preempting_dp)
+    state = train_loop(cfg, tmp_path / "ckpt")
+    assert fired["done"]
+    assert int(state.epoch) == 0, "preempted mid-epoch must stay in epoch 0"
+    steps_before = int(state.step)
+    assert steps_before < 16
+
+    # resume (no preemption): the interrupted epoch runs to completion
+    monkeypatch.setattr(pf, "device_prefetch", real_dp)
+    state = train_loop(cfg, tmp_path / "ckpt")
+    assert int(state.epoch) == 1
+    assert int(state.step) == steps_before + 16
