@@ -71,6 +71,8 @@ class Activation(nn.Module):
         if key == "prelu":
             alpha = self.param(
                 "prelu_alpha", nn.initializers.constant(0.1), (x.shape[-1],))
-            alpha = jnp.clip(alpha, 0.0, 1.0)
+            # cast the f32 param into the activation dtype so bf16 compute
+            # chains stay bf16 (jnp.where would otherwise promote to f32)
+            alpha = jnp.clip(alpha, 0.0, 1.0).astype(x.dtype)
             return jnp.where(x >= 0.0, x, alpha * x)
         return activation_fn(key)(x)

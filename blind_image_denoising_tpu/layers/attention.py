@@ -17,7 +17,9 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ..constants import DEFAULT_EPSILON
+from ..constants import (
+    DEFAULT_BN_EPSILON, DEFAULT_BN_MOMENTUM, DEFAULT_EPSILON,
+    DEFAULT_LN_EPSILON)
 from ..ops.resize import resize_bilinear
 from .conv import ConvBlock
 from .norm import FastLayerNorm
@@ -71,10 +73,13 @@ class AdditiveAttentionGate(nn.Module):
             # custom_layers.py:805-821)
             if self.use_bn:
                 v = nn.BatchNorm(use_running_average=not train,
+                                 momentum=DEFAULT_BN_MOMENTUM,
+                                 epsilon=DEFAULT_BN_EPSILON,
                                  use_bias=self.use_bias,
                                  dtype=self.dtype, name=f"bn_{name}")(v)
             if self.use_ln:
-                v = FastLayerNorm(use_bias=self.use_bias,
+                v = FastLayerNorm(epsilon=DEFAULT_LN_EPSILON,
+                                  use_bias=self.use_bias,
                                   dtype=self.dtype, name=f"ln_{name}")(v)
             return v
 
@@ -133,10 +138,13 @@ class ConvolutionalSelfAttention(nn.Module):
 
         if self.use_bn:
             x = nn.BatchNorm(use_running_average=not train,
+                             momentum=DEFAULT_BN_MOMENTUM,
+                             epsilon=DEFAULT_BN_EPSILON,
                              use_bias=self.bn_center,
                              dtype=self.dtype, name="bn")(x)
         if self.use_ln:
-            x = FastLayerNorm(use_bias=self.bn_center,
+            x = FastLayerNorm(epsilon=DEFAULT_LN_EPSILON,
+                              use_bias=self.bn_center,
                               dtype=self.dtype, name="ln")(x)
 
         def qkv(name):

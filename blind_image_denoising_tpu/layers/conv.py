@@ -196,7 +196,10 @@ class ConvBlock(nn.Module):
                 epsilon=DEFAULT_BN_EPSILON,
                 use_bias=self.bn_center,
                 use_scale=True,
-                dtype=self.dtype,
+                # resolved compute dtype, not self.dtype: flax BN with
+                # dtype=None promotes bf16 inputs to f32 via its f32 params,
+                # silently doubling HBM bytes downstream
+                dtype=compute_dtype,
                 name="bn")(y)
         if self.use_ln:
             y = FastLayerNorm(

@@ -37,7 +37,16 @@ def _block_conv_params(cfg: Dict) -> List[Dict]:
 
     def fill(key, default):
         v = list(cfg.get(key) or [])
-        return v if len(v) == n else [default] * n
+        if not v:
+            return [default] * n
+        if len(v) != n:
+            # the reference raises on length mismatch
+            # (backbone_resnet.py:122-126) — a silent all-defaults fallback
+            # would build a different model than the config asked for
+            raise ValueError(
+                f"{key} must have {n} entries (one per block_kernels entry), "
+                f"got {len(v)}")
+        return v
 
     kernel_regularizer = cfg.get("kernel_regularizer", "l1")
     kernel_initializer = cfg.get("kernel_initializer", "glorot_normal")

@@ -20,7 +20,11 @@ def _gaussian_kernel_2d_np(size: Tuple[int, int], nsig: Tuple[float, float]) -> 
                     num=size[i], endpoint=True, dtype=np.float64)
         for i in range(2)
     ]
-    x, y = np.meshgrid(kern1d[0], kern1d[1])
+    # indexing="ij" keeps axis 0 = size[0]/nsig[0] (H) and axis 1 = W; the
+    # default "xy" transposes the grid, crashing non-square sizes and swapping
+    # the sigmas between axes. (The reference's utilities.py:272-321 only ever
+    # builds square kernels with equal nsig, where the two are identical.)
+    x, y = np.meshgrid(kern1d[0], kern1d[1], indexing="ij")
     d = np.sqrt(x * x + y * y)
     g = np.exp(-(d ** 2) / 2.0)
     return (g / g.sum()).astype(np.float64)

@@ -101,7 +101,7 @@ def laplacian_band_split_pallas(
     # per-tile inv-den block: same for every tile EXCEPT border tiles; keep
     # full rows and index per tile
     inv = jnp.repeat(jnp.asarray(_inv_den(h, w, k))[:, :, None],
-                     c, axis=-1).reshape(1, h, w * c)
+                     c, axis=-1).reshape(1, h, w * c).astype(x.dtype)
 
     kernel = partial(_band_split_kernel, k=k, h=h, wc=w * c, w=w, c=c,
                      row_tile=row_tile)

@@ -198,3 +198,36 @@ def test_config_key_audit(caplog):
                      input_shape=["?", "?", 3]))
     ignored = [r.message for r in caplog.records if "IGNORED" in r.message]
     assert not ignored, f"packaged configs carry unknown keys: {ignored}"
+
+
+def test_block_list_length_mismatch_raises():
+    """Regression: a block_activation/groups/depthwise/regularizer list of
+    the wrong length must raise (reference backbone_resnet.py:122-126), not
+    silently fall back to all-defaults and build a different model."""
+    from blind_image_denoising_tpu.models import ResnetBackbone
+    cfg = dict(
+        type="resnet", filters=4, no_layers=1, kernel_size=3,
+        block_kernels=[1, 3, 1], block_filters=[4, 4, 4],
+        block_activation=["relu", "relu"],  # one entry short
+        activation="relu", batchnorm=False,
+        kernel_regularizer="l1", kernel_initializer="glorot_normal")
+    m = ResnetBackbone(config=cfg)
+    with pytest.raises(ValueError, match="block_activation"):
+        m.init(jax.random.PRNGKey(0), jnp.ones((1, 8, 8, 3)))
+
+
+def test_unknown_key_warning_deduped(caplog):
+    """Regression: backbone_from_config runs inside the traced Hydra body
+    (re-traced per serving shape bucket) — a misconfigured key must warn
+    once per process, not once per trace."""
+    import logging
+    from blind_image_denoising_tpu.models.hydra import backbone_from_config
+
+    base = {"type": "resnet", "input_shape": ["?", "?", 3], "filters": 4,
+            "no_layers": 1, "block_kernels": [3], "block_filters": [4],
+            "dedupe_probe_key": 1}
+    with caplog.at_level(logging.WARNING, logger="bfcnn_tpu"):
+        for _ in range(3):
+            backbone_from_config(dict(base))
+    hits = [r for r in caplog.records if "dedupe_probe_key" in r.message]
+    assert len(hits) == 1

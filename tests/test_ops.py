@@ -137,3 +137,25 @@ def test_input_shape_fixer():
     assert input_shape_fixer(["?", "?", 3]) == [None, None, 3]
     assert input_shape_fixer([256, 256, 3]) == [256, 256, 3]
     assert input_shape_fixer(["-1", "", 1]) == [None, None, 1]
+
+
+def test_gaussian_kernel_non_square():
+    """Regression: meshgrid default 'xy' indexing transposed the grid, so
+    non-square sizes crashed and unequal sigmas landed on the wrong axes."""
+    k = ops.gaussian_kernel_2d((3, 5), (1.0, 2.0))
+    assert k.shape == (3, 5)
+    assert k.sum() == pytest.approx(1.0, abs=1e-6)
+    # blur with a non-square kernel works end to end
+    x = jnp.ones((1, 16, 16, 2), jnp.float32)
+    y = ops.gaussian_blur(x, kernel_size=(3, 5))
+    assert y.shape == x.shape
+
+
+def test_gaussian_sigma_axis_orientation():
+    """nsig[0] belongs to axis 0 (H): a tight sigma on H and wide on W must
+    decay faster along rows than along columns."""
+    k = ops.gaussian_kernel_2d((5, 5), (3.0, 0.5))
+    # wide nsig -> grid reaches further in that axis -> edge weight smaller
+    center = k[2, 2]
+    assert k[0, 2] < k[2, 0]  # axis-0 edge decays more (nsig[0]=3 spreads grid)
+    assert center == k.max()

@@ -96,3 +96,25 @@ def test_band_smooth_vjp_matches_xla_grad():
         (dx_custom,) = _band_smooth_bwd(k, None, (g_band, g_smooth))
         np.testing.assert_allclose(np.asarray(dx_custom), np.asarray(dx_ref),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_band_split_bf16_inputs():
+    """Regression: the band-split kernel's precomputed inv-den operand must
+    be cast to the input dtype — bf16 inputs (the flagship's documented
+    compute dtype) used to crash at trace time with an f32-into-bf16-ref
+    store."""
+    from blind_image_denoising_tpu.ops.pallas_pyramid import (
+        laplacian_band_split_pallas, laplacian_band_split_reference,
+        laplacian_band_smooth_pallas)
+    x = jnp.asarray(np.random.default_rng(2)
+                    .uniform(0, 255, (1, 32, 16, 3))).astype(jnp.bfloat16)
+    band, down = laplacian_band_split_pallas(x, 3, interpret=True)
+    assert band.dtype == jnp.bfloat16 and down.dtype == jnp.bfloat16
+    band_r, down_r = laplacian_band_split_reference(x, 3)
+    np.testing.assert_allclose(
+        np.asarray(band, np.float32), np.asarray(band_r, np.float32), atol=2.0)
+    np.testing.assert_allclose(
+        np.asarray(down, np.float32), np.asarray(down_r, np.float32), atol=2.0)
+    # the sibling full-res kernel stays bf16-safe too
+    b2, s2 = laplacian_band_smooth_pallas(x, 3, interpret=True)
+    assert b2.dtype == jnp.bfloat16 and s2.dtype == jnp.bfloat16
