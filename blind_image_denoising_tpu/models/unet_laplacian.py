@@ -52,18 +52,39 @@ class UnetLaplacianBackbone(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> List[jnp.ndarray]:
         cfg = dict(self.config)
         depth = int(cfg.get("depth", 5))
-        width = int(cfg.get("width", 1))
-        if width <= 0:
-            width = 1
         if depth <= 0:
             raise ValueError("depth must be > 0")
+
+        def per_level(val, name, lo=1):
+            """int -> uniform across levels; list -> one entry per level.
+
+            TPU extension over the reference's scalar knobs
+            (backbone_unet_laplacian.py:62-77): the full-resolution level
+            dominates both HBM bytes and VPU elementwise work (docs/PERF.md
+            roofline), so per-level width/tap counts let a config spend
+            capacity at the cheap coarse levels and stay lean at level 0."""
+            if isinstance(val, (list, tuple)):
+                if len(val) != depth:
+                    raise ValueError(
+                        f"{name} must be an int or a list with one entry per "
+                        f"level ({depth}), got {len(val)} entries")
+                vals = [int(v) for v in val]
+            else:
+                vals = [int(val)] * depth
+            if any(v < lo for v in vals):
+                raise ValueError(f"{name} entries must be >= {lo}")
+            return vals
+
+        widths = per_level(cfg.get("width", 1), "width")
 
         filters = int(cfg.get("filters", 32))
         max_filters = int(cfg.get("max_filters", -1))
         mult = float(cfg.get("filters_level_multiplier", 2.0))
         activation = cfg.get("activation", "leaky_relu_01")
-        encoder_kernel = int(cfg.get("encoder_kernel_size", 5))
-        decoder_kernel = int(cfg.get("decoder_kernel_size", 3))
+        encoder_kernels = per_level(
+            cfg.get("encoder_kernel_size", 5), "encoder_kernel_size")
+        decoder_kernels = per_level(
+            cfg.get("decoder_kernel_size", 3), "decoder_kernel_size")
         gaussian_kernel = int(cfg.get("gaussian_kernel_size", 3))
         upsample_type = cfg.get("upsample_type", "bilinear")
         downsample_type = cfg.get("downsample_type", "strides")
@@ -111,8 +132,9 @@ class UnetLaplacianBackbone(nn.Module):
         # keep_prob strong-typed, promoting bf16 activations to f32 and
         # crashing lax.select under bfloat16 compute
         depth_drop_rates = [
-            float(r)
-            for r in np.linspace(0.0, max(0.0, depth_drop_rate), width)]
+            [float(r)
+             for r in np.linspace(0.0, max(0.0, depth_drop_rate), widths[d])]
+            for d in range(depth)]
 
         # --- per-depth conv parameter tables
         def level_filters(d: int) -> int:
@@ -125,15 +147,16 @@ class UnetLaplacianBackbone(nn.Module):
         res_1, res_2, res_3, down_p, up_p = [], [], [], [], []
         for d in range(depth):
             f, f_next = level_filters(d), level_filters(d + 1)
-            res_1.append(dict(kernel_size=encoder_kernel, depth_multiplier=1,
+            res_1.append(dict(kernel_size=encoder_kernels[d],
+                              depth_multiplier=1,
                               activation="linear", **common))
             res_2.append(dict(kernel_size=1, filters=f * 4,
                               activation=activation, **common))
             res_3.append(dict(kernel_size=1, filters=f,
                               activation="linear", **common))
-            down_p.append(dict(kernel_size=encoder_kernel, filters=f_next,
+            down_p.append(dict(kernel_size=encoder_kernels[d], filters=f_next,
                                activation=activation, **common))
-            up_p.append(dict(kernel_size=encoder_kernel, filters=f,
+            up_p.append(dict(kernel_size=encoder_kernels[d], filters=f,
                              activation=activation, **common))
 
         def convnext(name, d, kernel_override=None):
@@ -166,7 +189,7 @@ class UnetLaplacianBackbone(nn.Module):
         def residual_stage(v, d, name_prefix, kernel_override=None,
                            allow_attention=False):
             """width× (ConvNext block [+ stochastic depth] + skip add)."""
-            for w in range(width):
+            for w in range(widths[d]):
                 v_skip = v
                 if allow_attention and use_self_attention and d == depth - 1:
                     v = ConvolutionalSelfAttention(
@@ -183,9 +206,9 @@ class UnetLaplacianBackbone(nn.Module):
                     v = convnext(f"{name_prefix}_{w}", d,
                                  kernel_override)(v, train=train)
                 if v_skip.shape[-1] == v.shape[-1]:
-                    if depth_drop_rates[w] > 0.0:
+                    if depth_drop_rates[d][w] > 0.0:
                         v = StochasticDepth(
-                            depth_drop_rates[w],
+                            depth_drop_rates[d][w],
                             name=f"{name_prefix}_{w}_droppath")(v, train=train)
                     v = v_skip + v
             return v
@@ -282,7 +305,7 @@ class UnetLaplacianBackbone(nn.Module):
                     f"mix_{d}", dtype=self.dtype)(v, train=train)
 
             v = residual_stage(v, d, f"decoder_{d}",
-                               kernel_override=decoder_kernel)
+                               kernel_override=decoder_kernels[d])
             if use_out_norm:
                 v = output_norm(v, f"decoder_{d}_out")
             # NOTE: no post-norm activation on decoder nodes (reference

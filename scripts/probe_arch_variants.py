@@ -1,0 +1,132 @@
+"""Architectural VPU-reduction probe: flagship config variants, measured
+with the scan-chain K-differencing methodology (see bench.py — dispatch
+loops lie through the TPU tunnel).
+
+The flagship (unet_laplacian_v6) is VPU-elementwise-bound concurrently
+with ~80% HBM utilization (docs/PERF.md, docs/QUANTIZATION.md): the
+remaining single-chip levers are ARCHITECTURAL — depthwise tap count and
+channel width — not scheduling. This probe measures what each structural
+delta buys on real hardware, with untrained params (speed is
+weight-independent for a fixed graph).
+
+Run: python scripts/probe_arch_variants.py   (holds the TPU; single-tenant)
+"""
+
+import copy
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+BATCH = 32
+K1, K2 = 10, 30
+SIZE = 256
+
+
+def measure(cfg_model, label):
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from blind_image_denoising_tpu.models.hydra import model_builder
+
+    results = model_builder(cfg_model, dtype=jnp.bfloat16)
+    hydra = results.hydra
+
+    x = jnp.asarray(
+        np.random.default_rng(0).uniform(0, 255, (BATCH, SIZE, SIZE, 3))
+        .astype(np.float32))
+    variables = hydra.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 32, 32, 3), jnp.float32),
+                           train=False)
+    n_params = sum(int(np.prod(p.shape))
+                   for p in jax.tree_util.tree_leaves(variables["params"]))
+
+    def make_chain(k):
+        def chain(v, img):
+            def body(c, _):
+                return (hydra.apply(v, c, train=False)[0]
+                        .astype(jnp.float32), None)
+            y, _ = lax.scan(body, img, None, length=k)
+            return y.sum()
+        return jax.jit(chain)
+
+    def timed(f, reps=5):
+        float(f(variables, x))
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(f(variables, x))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1 = timed(make_chain(K1))
+    t2 = timed(make_chain(K2))
+    per_batch = (t2 - t1) / (K2 - K1)
+    ips = BATCH / per_batch
+
+    # byte/flop profile of the single-apply executable
+    fn = jax.jit(lambda v, i: hydra.apply(v, i, train=False)[0])
+    cost = fn.lower(variables, x).compile().cost_analysis()
+    if isinstance(cost, list):
+        cost = cost[0]
+    gb = cost.get("bytes accessed", 0) / 1e9
+    gflop = cost.get("flops", 0) / 1e9
+
+    row = {"label": label, "img_per_s": round(ips, 1),
+           "ms_per_batch": round(per_batch * 1e3, 2),
+           "params": n_params, "GB": round(gb, 2), "GFLOP": round(gflop, 1)}
+    print(json.dumps(row), flush=True)
+    return row
+
+
+def main():
+    import blind_image_denoising_tpu as bid
+
+    base = copy.deepcopy(bid.CONFIGS_DICT["unet_laplacian_v6"]["model"])
+
+    variants = [("v6 control (dw5x5)", {})]
+    if "--perlevel" in sys.argv:
+        # round 2 of the probe: per-level width/taps — the full-res level
+        # dominates bytes AND VPU work, so go lean there and keep the coarse
+        # levels at full capacity (uses the per-level list config extension)
+        variants += [
+            ("w[2,3,3] k[3,5,5]", {"width": [2, 3, 3],
+                                    "encoder_kernel_size": [3, 5, 5],
+                                    "decoder_kernel_size": [3, 5, 5]}),
+            ("w[2,3,3] k5", {"width": [2, 3, 3]}),
+            ("w[1,3,3] k[3,5,5]", {"width": [1, 3, 3],
+                                    "encoder_kernel_size": [3, 5, 5],
+                                    "decoder_kernel_size": [3, 5, 5]}),
+            ("w[2,2,3] k[3,3,5]", {"width": [2, 2, 3],
+                                    "encoder_kernel_size": [3, 3, 5],
+                                    "decoder_kernel_size": [3, 3, 5]}),
+        ]
+    else:
+        variants.append(("dw3x3 enc+dec", {"encoder_kernel_size": 3,
+                                            "decoder_kernel_size": 3}))
+        variants.append(("dw3x3 dec only", {"decoder_kernel_size": 3}))
+        # width: fewer blocks per level (width 3 -> 2) — structural VPU cut
+        variants.append(("width 2 (dw5x5)", {"width": 2}))
+        variants.append(("dw3x3 + width 2", {"encoder_kernel_size": 3,
+                                              "decoder_kernel_size": 3,
+                                              "width": 2}))
+
+    rows = []
+    for label, deltas in variants:
+        cfg = copy.deepcopy(base)
+        cfg["backbone"].update(deltas)
+        rows.append(measure(cfg, label))
+
+    ctrl = rows[0]["img_per_s"]
+    print("\n== summary (vs control) ==")
+    for r in rows:
+        print(f"{r['label']:>22}: {r['img_per_s']:7.1f} img/s "
+              f"({r['img_per_s']/ctrl:5.2f}x)  {r['GB']:.2f} GB  "
+              f"{r['GFLOP']:.0f} GFLOP  {r['params']/1e3:.0f}k params")
+
+
+if __name__ == "__main__":
+    main()

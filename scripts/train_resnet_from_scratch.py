@@ -58,6 +58,10 @@ def main():
              "flagship from-scratch milestone)")
     ap.add_argument("--grad-accum", type=int, default=None,
                     help="override train.gpu_batches_per_step")
+    ap.add_argument("--backbone-override", default=None,
+                    help="JSON dict merged into model.backbone (e.g. "
+                         "'{\"width\": [2,3,3]}' for the per-level TPU "
+                         "variants, docs/PERF.md)")
     ap.add_argument("--skip-train", action="store_true",
                     help="evaluate an existing checkpoint only")
     args = ap.parse_args()
@@ -74,6 +78,8 @@ def main():
 
     import blind_image_denoising_tpu as bid
     cfg = json.loads(json.dumps(bid.CONFIGS_DICT[args.config]))
+    if args.backbone_override:
+        cfg["model"]["backbone"].update(json.loads(args.backbone_override))
     cfg["dataset"]["inputs"] = [{"directory": str(train_files)},
                                 {"directory": MEGADEPTH_DIR}]
     cfg["dataset"]["input_shape"] = [128, 128, 3]

@@ -231,3 +231,42 @@ def test_unknown_key_warning_deduped(caplog):
             backbone_from_config(dict(base))
     hits = [r for r in caplog.records if "dedupe_probe_key" in r.message]
     assert len(hits) == 1
+
+
+def test_unet_laplacian_per_level_width_and_kernels():
+    """TPU extension: width / encoder_kernel_size / decoder_kernel_size
+    accept per-level lists (lean full-res level, full capacity deeper —
+    the docs/PERF.md architectural lever). Scalar configs are unchanged;
+    wrong-length lists raise."""
+    base = {"backbone": {
+        "type": "unet_laplacian", "input_shape": ["?", "?", 3],
+        "depth": 3, "width": [1, 2, 2], "filters": 4,
+        "encoder_kernel_size": [3, 5, 5], "decoder_kernel_size": [3, 3, 5],
+        "gaussian_kernel_size": 2, "activation": "leaky_relu_01",
+        "upsample_type": "upsample_nearest_conv2d",
+        "downsample_type": "conv2d", "use_bn": False, "use_ln": True,
+        "use_bias": False, "use_laplacian_averaging": True,
+        "multiple_scale_outputs": True, "value_range": [0, 255],
+        "kernel_regularizer": "l2", "kernel_initializer": "glorot_normal"},
+        "denoiser": {"filters": 4, "use_bias": False, "output_channels": 3}}
+    hydra = model_builder(base).hydra
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    vs = hydra.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    outs = hydra.apply(vs, x, train=False)
+    assert [o.shape for o in outs] == [
+        (1, 32, 32, 3), (1, 16, 16, 3), (1, 8, 8, 3)]
+    p = vs["params"]["backbone"]
+    # level 0 has 1 encoder block, level 1 has 2
+    assert "encoder_0_0" in p and "encoder_0_1" not in p
+    assert "encoder_1_0" in p and "encoder_1_1" in p
+    # level-0 encoder depthwise kernel is 3x3; level-1 is 5x5
+    assert p["encoder_0_0"]["conv_1"]["kernel"].shape[:2] == (3, 3)
+    assert p["encoder_1_0"]["conv_1"]["kernel"].shape[:2] == (5, 5)
+    # level-0 decoder blocks use the 3x3 override
+    assert p["decoder_0_0"]["conv_1"]["kernel"].shape[:2] == (3, 3)
+
+    bad = copy.deepcopy(base)
+    bad["backbone"]["width"] = [1, 2]
+    with pytest.raises(ValueError, match="one entry per level"):
+        model_builder(bad).hydra.init(
+            {"params": jax.random.PRNGKey(0)}, x, train=False)
