@@ -76,6 +76,17 @@ class Denoiser:
             # host→device bytes
             self._jitted_e2e = jax.jit(self._e2e)
 
+    @property
+    def model(self):
+        """The underlying flax module (e.g. for use as a distillation
+        teacher — training/distill.py)."""
+        return self._model
+
+    @property
+    def variables(self):
+        """The loaded variables pytree (params [+ batch_stats/quant])."""
+        return self._variables
+
     def _pad_target(self, n: int) -> int:
         if self._pad_mode == "pow2":
             return next_power_of_2(n)

@@ -205,6 +205,13 @@ def train_loop(
 
     grad_accum = max(1, int(train_config.get("gpu_batches_per_step", 1)))
 
+    # --- optional teacher-student distillation (training/distill.py)
+    teacher_fn, distill_opts = None, {}
+    distill_cfg = train_config.get("distillation")
+    if distill_cfg:
+        from .distill import build_teacher
+        teacher_fn, distill_opts = build_teacher(distill_cfg)
+
     visualization_every = train_config.get("visualization_every", 1000)
     # per-kernel gradient five-number summaries for boxplot figures
     # (reference train_loop.py:532-541); on whenever visualization is on,
@@ -224,7 +231,10 @@ def train_loop(
             grad_accum=grad_accum,
             remat=train_config.get("remat", False),
             use_pallas_noise=tpu_config.get("pallas_noise", False),
-            grad_stats=with_stats)
+            grad_stats=with_stats,
+            teacher_fn=teacher_fn,
+            distill_weight=distill_opts.get("weight", 1.0),
+            distill_gt_weight=distill_opts.get("gt_weight", 1.0))
         return shard_train_step(step_fn, mesh, spatial=spatial_training)
 
     # two compiled programs: the hot step carries NO per-kernel percentile

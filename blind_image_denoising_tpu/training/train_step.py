@@ -45,12 +45,20 @@ def build_train_step(
         grad_accum: int = 1,
         remat: bool = False,
         use_pallas_noise: bool = False,
-        grad_stats: bool = False):
+        grad_stats: bool = False,
+        teacher_fn=None,
+        distill_weight: float = 1.0,
+        distill_gt_weight: float = 1.0):
     """Returns ``train_step(state, batch, rng, depth_weights) ->
     (new_state, metrics)``.
 
     ``batch``: clean float32 [grad_accum·B, H, W, C] in [0, 255].
     ``depth_weights``: [no_outputs] deep-supervision weights.
+
+    ``teacher_fn``: optional frozen teacher (training/distill.py) applied
+    to the same corrupted micro-batch; its finest-scale output adds a
+    ``distill_weight``-scaled student-vs-teacher loss while the hard-GT
+    losses are scaled by ``distill_gt_weight`` (0 = pure distillation).
 
     ``grad_stats``: also return per-kernel gradient five-number summaries
     (min/p25/p50/p75/max) under ``metrics["grad_stats"]`` for gradient
@@ -62,7 +70,7 @@ def build_train_step(
     model_loss = loss_fns["model"]
 
     def forward_loss(params, batch_stats, noisy, gt_scales, depth_weights,
-                     dropout_rng):
+                     dropout_rng, teacher_out=None):
         variables = {"params": params}
         mutable = ["losses"]
         if batch_stats:
@@ -80,11 +88,19 @@ def build_train_step(
         outputs, mutated = apply(variables, noisy, dropout_rng)
 
         total = jnp.zeros((), jnp.float32)
+        gt_weight = distill_gt_weight if teacher_out is not None else 1.0
         per_scale = []
         for i in range(no_outputs):
             li = denoiser_loss(gt_scales[i], outputs[i].astype(jnp.float32))
-            total += li[TOTAL_LOSS_STR] * depth_weights[i]
+            total += li[TOTAL_LOSS_STR] * depth_weights[i] * gt_weight
             per_scale.append(li)
+
+        distill = None
+        if teacher_out is not None:
+            distill = denoiser_loss(teacher_out,
+                                    outputs[0].astype(jnp.float32))
+            total += distill[TOTAL_LOSS_STR] * depth_weights[0] \
+                * distill_weight
 
         mloss = model_loss(mutated.get("losses", {}))
         total += mloss[TOTAL_LOSS_STR]
@@ -96,6 +112,9 @@ def build_train_step(
         for i, li in enumerate(per_scale):
             for k in (MAE_LOSS_STR, MSE_LOSS_STR, SSIM_LOSS_STR, TOTAL_LOSS_STR):
                 metrics[f"scale_{i}/{k}"] = li[k]
+        if distill is not None:
+            for k in (MAE_LOSS_STR, TOTAL_LOSS_STR):
+                metrics[f"distill/{k}"] = distill[k]
         return total, (mutated.get("batch_stats", batch_stats), metrics)
 
     grad_fn = jax.grad(forward_loss, has_aux=True)
@@ -142,9 +161,13 @@ def build_train_step(
             step_rng, clean = inp
             k_data, k_dropout = jax.random.split(step_rng)
             noisy, gt_scales = prepare_micro_batch(k_data, clean)
+            # frozen teacher on the same corrupted batch, outside grad_fn
+            # (no backward, no rematerialization under remat)
+            teacher_out = teacher_fn(noisy) if teacher_fn is not None \
+                else None
             grads, (batch_stats, metrics) = grad_fn(
                 state.params, batch_stats, noisy, gt_scales,
-                depth_weights, k_dropout)
+                depth_weights, k_dropout, teacher_out)
             grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
             # metrics_acc is None only on the structure-seeding first call
             if metrics_acc is not None:
