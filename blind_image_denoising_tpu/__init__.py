@@ -149,7 +149,12 @@ def load_model(name_or_path, quant: bool = False):
             squeeze = x.ndim == 3
             if squeeze:
                 x = x[None]
-            y = _np.asarray(fn(x.astype(_np.uint8)))
+            if x.dtype != _np.uint8:
+                # clip+round like the Denoiser path (bare astype wraps
+                # out-of-range floats modulo 256)
+                x = _np.clip(_np.round(x.astype(_np.float64)), 0,
+                             255).astype(_np.uint8)
+            y = _np.asarray(fn(x))
             return y[0] if squeeze else y
 
         return denoiser

@@ -34,6 +34,15 @@ STABLEHLO_FILE = "denoiser.stablehlo"
 TFLITE_FILE = "denoiser_model.tflite"
 
 
+def _dim(v, default: int = 64) -> int:
+    """Resolve a config spatial dim: "?" / None / <=0 (the any-size
+    convention) -> ``default``."""
+    if v in (None, "?"):
+        return default
+    v = int(v)
+    return default if v <= 0 else v
+
+
 def export_model(
         pipeline_config: Union[str, dict, Path],
         checkpoint_directory: Union[str, Path],
@@ -65,7 +74,10 @@ def export_model(
     tx, _ = optimizer_builder(config["train"]["optimizer"])
     rng = jax.random.PRNGKey(0)
     shape = config["dataset"]["input_shape"]
-    sample = jnp.zeros((1, shape[0], shape[1], shape[2]), jnp.float32)
+    # "?" / None spatial dims (the config convention for any-size):
+    # param shapes are size-independent (fully-convolutional), init small
+    sample = jnp.zeros((1, _dim(shape[0]), _dim(shape[1]),
+                        int(shape[2])), jnp.float32)
     state = create_train_state(results.hydra, tx, rng, sample)
     manager = CheckpointManager(str(checkpoint_directory))
     if manager.latest_step() is None:
@@ -146,11 +158,12 @@ def serialize_stablehlo(model, variables, reference_shape=(1, 256, 256, 3),
         logger.info("stablehlo export: shape-polymorphic "
                     f"(b, {pad_multiple}*h, {pad_multiple}*w, {channels})")
     except Exception as e:
+        static_shape = tuple(reference_shape[:3]) + (channels,)
         logger.info(f"stablehlo export: polymorphic trace unavailable "
                     f"({type(e).__name__}: {e}); exporting static "
-                    f"{reference_shape}")
+                    f"{static_shape}")
         exported = jax_export.export(fwd)(
-            jax.ShapeDtypeStruct(reference_shape, jnp.float32))
+            jax.ShapeDtypeStruct(static_shape, jnp.float32))
     return exported.serialize()
 
 
@@ -264,8 +277,8 @@ def load_exported_model(directory: Union[str, Path],
     # build a template then overwrite with saved bytes
     rng = jax.random.PRNGKey(0)
     shape = config["dataset"]["input_shape"]
-    sample = jnp.zeros((1, int(shape[0] or 64), int(shape[1] or 64),
-                        shape[2]), jnp.float32)
+    sample = jnp.zeros((1, _dim(shape[0]), _dim(shape[1]),
+                        int(shape[2])), jnp.float32)
     template = results.hydra.init({"params": rng}, sample, train=False)
     # init exposes every collection (incl. sown 'losses'); the artifact
     # only carries params + batch_stats

@@ -75,7 +75,11 @@ def load_savedmodel_denoiser(path: str) -> Callable:
         squeeze = x.ndim == 3
         if squeeze:
             x = x[None]
-        x = x.astype(np.uint8)
+        if x.dtype != np.uint8:
+            # clip+round like the Denoiser path — a bare astype would
+            # wrap out-of-range floats modulo 256
+            x = np.clip(np.round(x.astype(np.float64)), 0,
+                        255).astype(np.uint8)
         if batch_fixed is not None and x.shape[0] != batch_fixed:
             if batch_fixed != 1:
                 raise ValueError(

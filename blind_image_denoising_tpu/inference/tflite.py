@@ -150,6 +150,13 @@ def _parse(path: str):
             o = options_of(op, "ResizeBilinearOptions")
             opts = dict(align_corners=bool(o.AlignCorners()),
                         half_pixel_centers=bool(o.HalfPixelCenters()))
+        elif name == "RESHAPE":
+            # 1-input form carries the target shape in ReshapeOptions
+            # (the 2-input form passes it as a constant tensor instead)
+            o = options_of(op, "ReshapeOptions")
+            if o is not None and o.NewShapeLength():
+                opts = dict(new_shape=[int(o.NewShape(j))
+                                       for j in range(o.NewShapeLength())])
         elif name == "BATCH_MATMUL":
             o = options_of(op, "BatchMatMulOptions")
             opts = dict(adj_x=bool(o.AdjX()), adj_y=bool(o.AdjY()))
@@ -227,11 +234,29 @@ def _strided_slice(x, begin, end, strides, opts):
 
 def _resize_bilinear(x, size, opts):
     size = np.asarray(size).tolist()
-    b, _, _, c = x.shape
+    b, h, w, c = x.shape
     if opts.get("align_corners"):
         raise NotImplementedError("align_corners resize")
-    return jax.image.resize(jnp.asarray(x), (b, size[0], size[1], c),
-                            method="bilinear")
+    if opts.get("half_pixel_centers"):
+        return jax.image.resize(jnp.asarray(x), (b, size[0], size[1], c),
+                                method="bilinear")
+    # legacy TF1 grid (hpc=False, the flatbuffer default): src = dst*scale
+    # — jax.image.resize always uses half-pixel centers, whose grid is
+    # shifted by (scale-1)/2, so gather explicitly
+    x = jnp.asarray(x)
+    out_h, out_w = int(size[0]), int(size[1])
+    ys = jnp.arange(out_h, dtype=jnp.float32) * (h / out_h)
+    xs = jnp.arange(out_w, dtype=jnp.float32) * (w / out_w)
+    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 1)
+    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    wy = (ys - y0.astype(jnp.float32)).reshape(1, out_h, 1, 1)
+    wx = (xs - x0.astype(jnp.float32)).reshape(1, 1, out_w, 1)
+    rows0, rows1 = x[:, y0], x[:, y1]
+    top = rows0[:, :, x0] * (1 - wx) + rows0[:, :, x1] * wx
+    bot = rows1[:, :, x0] * (1 - wx) + rows1[:, :, x1] * wx
+    return top * (1 - wy) + bot * wy
 
 
 class TFLiteExecutor:
@@ -346,6 +371,11 @@ class TFLiteExecutor:
         elif name == "RESHAPE":
             shape = np.asarray(inp(1)).ravel().tolist() \
                 if len(op.inputs) > 1 and inp(1) is not None else None
+            if shape is None:
+                shape = opts.get("new_shape")
+            if shape is None:
+                raise NotImplementedError(
+                    "RESHAPE without a shape tensor or ReshapeOptions")
             x = inp(0)
             y = _np_or_jnp(x).reshape(x, shape)
         elif name == "SHAPE":

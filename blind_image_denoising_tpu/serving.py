@@ -19,15 +19,18 @@ works, it just forms one batch per shape.
 """
 
 import argparse
+import collections
 import io
 import queue
 import sys
 import threading
+import time
 from typing import Callable, Optional
 
 import numpy as np
 
 from .logger import logger
+from .ops.padding import next_power_of_2
 
 
 class _Pending:
@@ -61,13 +64,36 @@ class BatchingDenoiser:
         # exist per image shape (powers of two below max_batch, plus
         # max_batch itself when it is not a power of two).
         self._pad_batches = bool(pad_batches)
-        self._q: "queue.Queue[_Pending]" = queue.Queue()
+        self._q: "queue.Queue[Optional[_Pending]]" = queue.Queue()
+        # requests deferred from earlier rounds, oldest first — the next
+        # round batches the OLDEST waiter's shape, so a minority-shape
+        # request cannot be starved by sustained majority-shape traffic
+        self._backlog: "collections.deque[_Pending]" = collections.deque()
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
     def close(self):
+        """Stop the worker and fail any still-queued requests (callers
+        blocked in __call__ get a RuntimeError instead of hanging)."""
         self._stop.set()
+        self._q.put(None)   # wake the worker if it is blocked on get()
+        self._worker.join(timeout=10.0)
+        self._fail_pending(RuntimeError("BatchingDenoiser is closed"))
+
+    def _fail_pending(self, err: BaseException) -> None:
+        pending = list(self._backlog)
+        self._backlog.clear()
+        while True:
+            try:
+                p = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if p is not None:
+                pending.append(p)
+        for p in pending:
+            p.error = err
+            p.event.set()
 
     def warm(self, shape) -> None:
         """Precompile every batch bucket for one image shape [H, W, C]
@@ -88,41 +114,67 @@ class BatchingDenoiser:
     def __call__(self, image: np.ndarray) -> np.ndarray:
         """image: uint8 [H, W, C]; blocks until the batch containing it
         has been denoised."""
+        if self._stop.is_set():
+            raise RuntimeError("BatchingDenoiser is closed")
         p = _Pending(np.asarray(image))
         self._q.put(p)
-        p.event.wait()
+        # periodic liveness check: a request enqueued concurrently with
+        # close() could otherwise miss the drain and wait forever
+        while not p.event.wait(timeout=1.0):
+            if self._stop.is_set() and not self._worker.is_alive():
+                self._fail_pending(
+                    RuntimeError("BatchingDenoiser is closed"))
+                if not p.event.is_set():
+                    raise RuntimeError("BatchingDenoiser is closed")
         if p.error is not None:
             raise p.error
         return p.result
 
     # ---- batcher thread --------------------------------------------------
 
+    def _take_matching(self, batch, shape) -> None:
+        """Move backlog entries matching ``shape`` into ``batch``,
+        preserving the arrival order of everything left behind."""
+        kept = collections.deque()
+        while self._backlog:
+            p = self._backlog.popleft()
+            if (len(batch) < self._max_batch
+                    and p.image.shape == shape):
+                batch.append(p)
+            else:
+                kept.append(p)
+        self._backlog = kept
+
     def _collect(self):
-        """One batch of same-shape requests (first request's shape wins;
-        others are re-queued for the next round)."""
-        try:
-            first = self._q.get(timeout=0.2)
-        except queue.Empty:
-            return None
+        """One batch of same-shape requests. The OLDEST waiting request's
+        shape wins the round; different-shape requests stay in the
+        backlog in arrival order for the next round."""
+        if not self._backlog:
+            try:
+                p = self._q.get(timeout=0.2)
+            except queue.Empty:
+                return None
+            if p is None:   # close() sentinel
+                return None
+            self._backlog.append(p)
+        first = self._backlog.popleft()
         batch = [first]
-        requeue = []
-        deadline = self._max_wait
-        import time
+        shape = first.image.shape
         t0 = time.monotonic()
         while len(batch) < self._max_batch:
-            remaining = deadline - (time.monotonic() - t0)
+            self._take_matching(batch, shape)
+            if len(batch) >= self._max_batch:
+                break
+            remaining = self._max_wait - (time.monotonic() - t0)
             if remaining <= 0:
                 break
             try:
                 p = self._q.get(timeout=remaining)
             except queue.Empty:
                 break
-            if p.image.shape == first.image.shape:
-                batch.append(p)
-            else:
-                requeue.append(p)
-        for p in requeue:
-            self._q.put(p)
+            if p is None:
+                break
+            self._backlog.append(p)
         return batch
 
     def _run(self):
@@ -134,8 +186,9 @@ class BatchingDenoiser:
                 stacked = np.stack([p.image for p in batch], axis=0)
                 n = stacked.shape[0]
                 if self._pad_batches and n > 1:
-                    bucket = 1 << (n - 1).bit_length()   # next power of 2
-                    bucket = min(bucket, self._max_batch)
+                    # same ladder warm() precompiles: powers of two
+                    # clamped to max_batch
+                    bucket = min(next_power_of_2(n), self._max_batch)
                     if bucket > n:
                         fill = np.repeat(stacked[-1:], bucket - n, axis=0)
                         stacked = np.concatenate([stacked, fill], axis=0)

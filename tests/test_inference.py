@@ -209,6 +209,14 @@ def test_savedmodel_round_trip(tmp_path):
         assert np.mean(np.abs(got4.astype(int) - ref.astype(int)) > 1) \
             < 1e-3
 
+    # float input with out-of-range values must CLIP, not wrap modulo 256
+    # (a bare astype(np.uint8) flipped -1.0 to 255 — silent corruption)
+    xf = np.full((32, 32, 3), 10.0, np.float32)
+    xf[0, 0, :] = -1.0
+    xf[0, 1, :] = 256.0
+    clipped = np.clip(np.round(xf), 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(den(xf), den(clipped))
+
 
 def test_savedmodel_fixed_batch1_signature(tmp_path):
     """A GENUINE reference export has a fixed batch-1 [1,None,None,C]
@@ -265,3 +273,74 @@ def test_denoiser_pad_modes_and_tiling(tiny_denoiser):
     r = 4
     np.testing.assert_array_equal(base[r:-r, r:-r], mult[r:-r, r:-r])
     np.testing.assert_array_equal(mult, tiled)  # same pad mode → identical
+
+
+def test_tflite_legacy_resize_bilinear_grid():
+    """hpc=False (the flatbuffer default) uses the legacy TF1 grid
+    src = dst*scale — jax.image.resize's half-pixel grid is shifted by
+    (scale-1)/2 and produced silently wrong pixels before the fix."""
+    import numpy as np
+    from blind_image_denoising_tpu.inference.tflite import _resize_bilinear
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 1, (1, 4, 5, 2)).astype(np.float32)
+
+    def legacy_ref(x, oh, ow):
+        b, h, w, c = x.shape
+        out = np.zeros((b, oh, ow, c), np.float32)
+        for i in range(oh):
+            for j in range(ow):
+                sy, sx = i * h / oh, j * w / ow
+                y0, x0 = int(np.floor(sy)), int(np.floor(sx))
+                y1, x1 = min(y0 + 1, h - 1), min(x0 + 1, w - 1)
+                wy, wx = sy - y0, sx - x0
+                out[:, i, j] = (
+                    x[:, y0, x0] * (1 - wy) * (1 - wx)
+                    + x[:, y0, x1] * (1 - wy) * wx
+                    + x[:, y1, x0] * wy * (1 - wx)
+                    + x[:, y1, x1] * wy * wx)
+        return out
+
+    for oh, ow in [(8, 10), (4, 5), (6, 7)]:
+        got = np.asarray(_resize_bilinear(
+            x, [oh, ow], {"half_pixel_centers": False}))
+        np.testing.assert_allclose(got, legacy_ref(x, oh, ow),
+                                   rtol=1e-5, atol=1e-6)
+    # and the two grids genuinely differ on upscale (guards against the
+    # legacy branch silently routing back to half-pixel)
+    hp = np.asarray(_resize_bilinear(
+        x, [8, 10], {"half_pixel_centers": True}))
+    assert np.abs(hp - legacy_ref(x, 8, 10)).max() > 1e-3
+
+
+def test_tflite_reshape_options_form():
+    """1-input RESHAPE carries its shape in ReshapeOptions — crashed with
+    shape=None before the fix."""
+    import numpy as np
+    from blind_image_denoising_tpu.inference.tflite import (
+        TFLiteExecutor, _Op)
+
+    ex = TFLiteExecutor.__new__(TFLiteExecutor)
+    ex._ops = [_Op("RESHAPE", [0], [1], {"new_shape": [2, 8]})]
+    ex._constants = {}
+    ex._input_ids = [0]
+    ex._output_ids = [1]
+    ex._dtypes = {}
+    x = np.arange(16, dtype=np.float32).reshape(4, 4)
+    y = ex(x)
+    np.testing.assert_array_equal(y, x.reshape(2, 8))
+
+    ex._ops = [_Op("RESHAPE", [0], [1], {})]
+    with pytest.raises(NotImplementedError, match="RESHAPE"):
+        ex(x)
+
+
+def test_float_inputs_clip_not_wrap():
+    """Float inputs out of [0,255] must clip like the Denoiser path —
+    the savedmodel/tflite wrappers truncated with astype(np.uint8),
+    flipping -1.0 to 255 and 256.0 to 0. Checks the exact transform both
+    wrappers now share (loading real TF artifacts here is heavyweight)."""
+    import numpy as np
+    x = np.array([[-1.0, 0.4, 254.7, 256.0]], np.float32)
+    out = np.clip(np.round(x.astype(np.float64)), 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(out, [[0, 0, 255, 255]])

@@ -121,3 +121,88 @@ def test_warm_covers_non_pow2_max_batch():
         assert model.batch_sizes == [1, 2, 3]
     finally:
         b.close()
+
+
+def test_minority_shape_not_starved_by_majority_flood():
+    """The oldest waiter's shape wins each round: one 16x16 request
+    submitted during a sustained 8x8 flood must complete long before the
+    flood ends (the old requeue-at-tail policy starved it)."""
+    import time
+
+    def slow_model(batch):
+        time.sleep(0.02)
+        return batch
+
+    b = BatchingDenoiser(slow_model, max_batch=4, max_wait_ms=5.0)
+    stop = threading.Event()
+
+    def flood():
+        while not stop.is_set():
+            try:
+                b(np.zeros((8, 8, 3), np.uint8))
+            except RuntimeError:
+                return
+
+    floods = [threading.Thread(target=flood) for _ in range(6)]
+    try:
+        for t in floods:
+            t.start()
+        time.sleep(0.1)   # flood established
+        t0 = time.monotonic()
+        out = b(np.zeros((16, 16, 3), np.uint8))
+        latency = time.monotonic() - t0
+        assert out.shape == (16, 16, 3)
+        # generous bound: one or two rounds of 4x slow batches, not the
+        # length of the flood
+        assert latency < 2.0, latency
+    finally:
+        stop.set()
+        for t in floods:
+            t.join(timeout=5)
+        b.close()
+
+
+def test_close_unblocks_queued_callers():
+    """close() must fail still-queued requests instead of stranding their
+    threads forever, and later calls must raise immediately."""
+    import time
+
+    release = threading.Event()
+
+    def gated_model(batch):
+        release.wait(timeout=5)
+        return batch
+
+    b = BatchingDenoiser(gated_model, max_batch=1, max_wait_ms=1.0)
+    errors = []
+
+    def call():
+        try:
+            b(np.zeros((8, 8, 3), np.uint8))
+        except BaseException as e:
+            errors.append(e)
+
+    # first request occupies the worker inside gated_model; the rest queue
+    t1 = threading.Thread(target=call)
+    t1.start()
+    time.sleep(0.1)
+    queued = [threading.Thread(target=call) for _ in range(3)]
+    for t in queued:
+        t.start()
+    time.sleep(0.1)
+
+    closer = threading.Thread(target=b.close)
+    closer.start()
+    time.sleep(0.1)
+    release.set()   # let the in-flight batch finish
+    closer.join(timeout=15)
+    t1.join(timeout=5)
+    for t in queued:
+        t.join(timeout=5)
+    assert not any(t.is_alive() for t in queued), "queued caller stranded"
+    # the in-flight request succeeded; the queued ones got clean errors
+    assert len(errors) == 3
+    assert all(isinstance(e, RuntimeError) for e in errors)
+
+    with pytest.raises(RuntimeError, match="closed"):
+        b(np.zeros((8, 8, 3), np.uint8))
