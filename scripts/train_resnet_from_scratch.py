@@ -62,6 +62,15 @@ def main():
                     help="JSON dict merged into model.backbone (e.g. "
                          "'{\"width\": [2,3,3]}' for the per-level TPU "
                          "variants, docs/PERF.md)")
+    ap.add_argument("--distill", default=None,
+                    help="JSON train.distillation spec, e.g. "
+                         "'{\"teacher\": \"unet_laplacian_v56_highnoise\", "
+                         "\"dtype\": \"bfloat16\"}' — quality transfer "
+                         "from the full-corpus-trained import "
+                         "(training/distill.py)")
+    ap.add_argument("--init-from", default=None,
+                    help="checkpoint dir to load initial weights from "
+                         "(fine-tune instead of from-scratch)")
     ap.add_argument("--skip-train", action="store_true",
                     help="evaluate an existing checkpoint only")
     args = ap.parse_args()
@@ -92,6 +101,8 @@ def main():
     cfg["train"]["total_steps"] = args.steps
     if args.grad_accum is not None:
         cfg["train"]["gpu_batches_per_step"] = args.grad_accum
+    if args.distill:
+        cfg["train"]["distillation"] = json.loads(args.distill)
     cfg["train"]["checkpoint_every"] = 5000
     cfg["train"]["visualization_every"] = -1
     cfg["train"]["use_test_images"] = False
@@ -107,7 +118,8 @@ def main():
     ckpt = work / "ckpt"
     if not args.skip_train:
         from blind_image_denoising_tpu.training.train_loop import train_loop
-        state = train_loop(str(cfg_path), str(ckpt))
+        state = train_loop(str(cfg_path), str(ckpt),
+                           weights_directory=args.init_from)
         print(f"trained to step {int(state.step)}", flush=True)
 
     # --- README-protocol evaluation on the held-out KITTI frames
