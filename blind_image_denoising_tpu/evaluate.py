@@ -106,6 +106,10 @@ def main(argv=None) -> int:
     parser.add_argument("--quant", action="store_true",
                         help="evaluate the artifact's int8 path "
                              "(needs quant.msgpack; docs/QUANTIZATION.md)")
+    parser.add_argument("--tta", action="store_true",
+                        help="8-way geometric self-ensemble (dihedral "
+                             "test-time augmentation) — ~8x compute for "
+                             "a measured MAE gain")
     args = parser.parse_args(argv)
 
     if getattr(args, "platform", None):
@@ -113,7 +117,7 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", args.platform)
 
     import blind_image_denoising_tpu as bid
-    denoiser = bid.load_model(args.model, quant=args.quant)
+    denoiser = bid.load_model(args.model, quant=args.quant, tta=args.tta)
     images = load_eval_images(args.images, size=args.size,
                               limit=args.limit)
     logger.info(f"evaluating {len(images)} images at {args.size}^2")

@@ -18,6 +18,12 @@ bucket — then cache hits. Improvements over the reference:
   exactly (fully-convolutional + sufficient halo).
 * multi-chip: pass a mesh + margin to shard full frames over the
   'spatial' axis with ICI halo exchange (parallel/spatial.py).
+* ``tta=True`` enables geometric self-ensembling: average the 8
+  dihedral transforms t⁻¹(f(t(x))) (flips × transpose) inside the one
+  jitted program. A classic denoising quality lever the reference does
+  not have; 8× compute for a measured ~0.1 MAE / ~0.15 dB gain at every
+  σ (docs/QUALITY_BENCHMARK.md). The group average makes the output
+  exactly equivariant to flips/transposes of the input.
 """
 
 from typing import Optional
@@ -34,12 +40,34 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+def _dihedral(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """k ∈ 0..7: bit0 = left-right flip, bit1 = up-down flip,
+    bit2 = transpose (H↔W). Applied in that order on NHWC."""
+    if k & 1:
+        x = x[:, :, ::-1, :]
+    if k & 2:
+        x = x[:, ::-1, :, :]
+    if k & 4:
+        x = jnp.swapaxes(x, 1, 2)
+    return x
+
+
+def _dihedral_inv(y: jnp.ndarray, k: int) -> jnp.ndarray:
+    if k & 4:
+        y = jnp.swapaxes(y, 1, 2)
+    if k & 2:
+        y = y[:, ::-1, :, :]
+    if k & 1:
+        y = y[:, :, ::-1, :]
+    return y
+
+
 class Denoiser:
     def __init__(self, model, variables, cast_to_uint8: bool = True,
                  pad_mode: str = "multiple", pad_multiple: int = 64,
                  tile_rows: int = 0, tile_halo: int = 64,
                  mesh=None, spatial_margin: int = 0,
-                 quant: bool = False):
+                 quant: bool = False, tta: bool = False):
         self._model = model
         self._variables = variables
         self._cast = cast_to_uint8
@@ -47,6 +75,12 @@ class Denoiser:
         self._pad_multiple = int(pad_multiple)
         self._tile_rows = int(tile_rows)
         self._tile_halo = int(tile_halo)
+        self._tta = bool(tta)
+        if tta and mesh is not None and mesh.shape.get("spatial", 1) > 1:
+            raise ValueError(
+                "tta=True is single-mesh only: the transpose members of "
+                "the dihedral ensemble swap H and W, which breaks a fixed "
+                "'spatial' (H-axis) sharding")
         if quant and "quant" not in variables:
             raise ValueError(
                 "quant=True needs calibrated scales — run "
@@ -131,10 +165,23 @@ class Denoiser:
         if squeeze:
             x = x[None]
         x = x.astype(jnp.float32)
-        if self._tile_rows > 0 and x.shape[1] > self._tile_rows:
-            y = self._run_tiled(x)
+
+        def run(img):
+            if self._tile_rows > 0 and img.shape[1] > self._tile_rows:
+                return self._run_tiled(img)
+            return self._run_padded(img)
+
+        if self._tta:
+            # geometric self-ensemble: mean over the dihedral group, all
+            # 8 forwards traced into the same program (XLA schedules them
+            # back-to-back; padding specializes per orientation)
+            acc = None
+            for k in range(8):
+                yk = _dihedral_inv(run(_dihedral(x, k)), k)
+                acc = yk if acc is None else acc + yk
+            y = acc / 8.0
         else:
-            y = self._run_padded(x)
+            y = run(x)
         if squeeze:
             y = y[0]
         y = jnp.clip(jnp.round(y), 0.0, 255.0)

@@ -246,11 +246,14 @@ def _load_quant_scales(directory: Path, quant) -> Optional[dict]:
 
 def load_exported_model(directory: Union[str, Path],
                         cast_to_uint8: bool = True,
-                        quant: bool = False) -> Denoiser:
+                        quant: bool = False,
+                        tta: bool = False) -> Denoiser:
     """Load an exported artifact directory into a ready Denoiser.
 
     ``quant=True`` serves the artifact's int8 path using the calibrated
-    scales shipped in ``quant.msgpack`` (docs/QUANTIZATION.md)."""
+    scales shipped in ``quant.msgpack`` (docs/QUANTIZATION.md).
+    ``tta=True`` serves the 8-way geometric self-ensemble
+    (inference/denoiser.py)."""
     directory = Path(str(directory))
     config = load_config(str(directory / CONFIG_FILE))
     quant_scales = _load_quant_scales(directory, quant)
@@ -270,7 +273,7 @@ def load_exported_model(directory: Union[str, Path],
         if quant_scales is not None:
             variables = dict(variables, quant=quant_scales)
         return Denoiser(model, variables, cast_to_uint8=cast_to_uint8,
-                        quant=quant)
+                        quant=quant, tta=tta)
 
     results = model_builder(config["model"])
 
@@ -289,4 +292,4 @@ def load_exported_model(directory: Union[str, Path],
     if quant_scales is not None:
         variables = dict(variables, quant=quant_scales)
     return Denoiser(results.hydra, variables, cast_to_uint8=cast_to_uint8,
-                    quant=quant)
+                    quant=quant, tta=tta)

@@ -225,6 +225,7 @@ def train_loop(
             no_outputs=no_outputs,
             additive_noise=dataset_config.get("additional_noise"),
             multiplicative_noise=dataset_config.get("multiplicative_noise"),
+            noise_sampling=dataset_config.get("noise_sampling", "uniform"),
             random_left_right=dataset_config.get("random_left_right", True),
             random_up_down=dataset_config.get("random_up_down", True),
             round_values=dataset_config.get("round_values", True),

@@ -39,6 +39,7 @@ def build_train_step(
         no_outputs: int,
         additive_noise: Optional[Sequence[float]] = None,
         multiplicative_noise: Optional[Sequence[float]] = None,
+        noise_sampling: str = "uniform",
         random_left_right: bool = True,
         random_up_down: bool = True,
         round_values: bool = True,
@@ -68,6 +69,11 @@ def build_train_step(
     """
     denoiser_loss = loss_fns["denoiser"]
     model_loss = loss_fns["model"]
+    if use_pallas_noise and noise_sampling != "uniform":
+        raise ValueError(
+            "tpu.pallas_noise only implements the reference's uniform std "
+            f"draw; unset it to use dataset.noise_sampling="
+            f"{noise_sampling!r}")
 
     def forward_loss(params, batch_stats, noisy, gt_scales, depth_weights,
                      dropout_rng, teacher_out=None):
@@ -141,7 +147,8 @@ def build_train_step(
             noisy = corrupt_batch(k_noise, clean,
                                   additive_noise=additive_noise,
                                   multiplicative_noise=multiplicative_noise,
-                                  round_values=round_values)
+                                  round_values=round_values,
+                                  noise_sampling=noise_sampling)
         gt_scales = multiscale_targets(
             clean, no_outputs - 1, clip_values=True, round_values=True)
         return noisy, gt_scales

@@ -68,6 +68,12 @@ def main():
                          "\"dtype\": \"bfloat16\"}' — quality transfer "
                          "from the full-corpus-trained import "
                          "(training/distill.py)")
+    ap.add_argument("--noise-sampling", default=None,
+                    choices=("uniform", "log_uniform"),
+                    help="dataset.noise_sampling override (log_uniform "
+                         "spends ~half the std draws below sqrt(lo*hi) — "
+                         "the low-sigma training-exposure lever, "
+                         "ops/noise.py draw_stds)")
     ap.add_argument("--init-from", default=None,
                     help="checkpoint dir to load initial weights from "
                          "(fine-tune instead of from-scratch)")
@@ -97,6 +103,8 @@ def main():
     cfg["dataset"]["additional_noise"] = [1, 80]   # full README sweep range
     cfg["dataset"]["no_crops_per_image"] = 4
     cfg["dataset"]["min_crop_std"] = 2.0
+    if args.noise_sampling:
+        cfg["dataset"]["noise_sampling"] = args.noise_sampling
     cfg["train"]["epochs"] = -1
     cfg["train"]["total_steps"] = args.steps
     if args.grad_accum is not None:

@@ -37,6 +37,56 @@ def test_denoiser_any_size_uint8(tiny_denoiser, shape):
     assert out.dtype == np.uint8
 
 
+def _tiny_hydra():
+    cfg = {"backbone": {
+        "type": "resnet", "input_shape": ["?", "?", 3], "filters": 4,
+        "no_layers": 1, "kernel_size": 3, "block_kernels": [3],
+        "block_filters": [4], "activation": "relu", "batchnorm": False,
+        "value_range": [0, 255], "kernel_regularizer": "l1",
+        "kernel_initializer": "glorot_normal"},
+        "denoiser": {"use_bias": False, "output_channels": 3}}
+    hydra = model_builder(cfg).hydra
+    x = jnp.zeros((1, 16, 16, 3))
+    variables = hydra.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    variables = {k: v for k, v in variables.items()
+                 if k in ("params", "batch_stats")}
+    return hydra, variables
+
+
+def test_denoiser_tta_equivariance():
+    """The 8-way dihedral self-ensemble is exactly equivariant to
+    flips/transposes of the input (it averages the same 8 field values
+    in a different order), and keeps the any-size uint8 contract."""
+    from blind_image_denoising_tpu.inference.denoiser import Denoiser
+
+    hydra, variables = _tiny_hydra()
+    d = Denoiser(hydra, variables, cast_to_uint8=False, tta=True,
+                 pad_multiple=8)
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    y = d(img)
+    y_lr = d(img[:, ::-1])
+    np.testing.assert_allclose(y[:, ::-1], y_lr, atol=1e-2)
+    y_t = d(img.transpose(1, 0, 2))
+    np.testing.assert_allclose(y.transpose(1, 0, 2), y_t, atol=1e-2)
+
+    # non-square input pads per orientation and keeps the contract
+    d8 = Denoiser(hydra, variables, tta=True, pad_multiple=8)
+    img2 = rng.integers(0, 256, (2, 24, 40, 3), dtype=np.uint8)
+    out = d8(img2)
+    assert out.shape == img2.shape and out.dtype == np.uint8
+
+
+def test_denoiser_tta_spatial_mesh_rejected():
+    from blind_image_denoising_tpu.inference.denoiser import Denoiser
+    from blind_image_denoising_tpu.parallel.mesh import create_mesh
+
+    hydra, variables = _tiny_hydra()
+    mesh = create_mesh(data=1, spatial=2)
+    with pytest.raises(ValueError, match="single-mesh only"):
+        Denoiser(hydra, variables, tta=True, mesh=mesh, spatial_margin=8)
+
+
 def test_denoiser_float_mode():
     cfg = {"backbone": {
         "type": "resnet", "input_shape": ["?", "?", 3], "filters": 4,

@@ -83,16 +83,54 @@ def _launch_ranks(cfg_path, ckpt_dir, tmp_path, n_ranks=2,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
 
     outs = []
+    timed_out = False
     for rank, p in enumerate(procs):
         try:
             out, _ = p.communicate(timeout=540)
         except subprocess.TimeoutExpired:
+            # machine-load flake (CLAUDE.md): kill the whole cohort and
+            # report failure codes so callers' bounded retry covers
+            # timeouts the same as crashes
+            timed_out = True
             for q in procs:
                 q.kill()
-            raise
+            out = (p.communicate()[0] or "") + "\n[timed out after 540s]"
         outs.append(out)
         (tmp_path / f"rank{rank}.log").write_text(out)  # post-mortem aid
-    return [p.returncode for p in procs], outs
+    rcs = [p.returncode for p in procs]
+    if timed_out and not any(rcs):
+        rcs[0] = 1  # a rank may have exited 0 before the kill
+    return rcs, outs
+
+
+def _drop_checkpoints_past(ckpt_dir, resume_step: int):
+    """Remove (possibly partial) checkpoints a failed resume attempt wrote
+    past the resume point, incl. orbax tmp dirs, so a retry restores from
+    the intended step."""
+    import shutil
+    for d in list(ckpt_dir.glob("*")) + list(ckpt_dir.glob("*/*")):
+        if d.is_dir() and d.name.split(".")[0].isdigit() \
+                and int(d.name.split(".")[0]) > resume_step:
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def _resume_with_retry(cfg_path, ckpt_dir, tmp_path, n_ranks,
+                       local_devices, resume_step):
+    """Resume-phase launch with one bounded retry: restores the metrics
+    sink and drops past-resume checkpoints before retrying, so the retry
+    sees exactly the pre-resume state."""
+    metrics = ckpt_dir / "metrics.jsonl"
+    snapshot = metrics.read_text() if metrics.exists() else None
+    rcs, outs = _launch_ranks(cfg_path, ckpt_dir, tmp_path,
+                              n_ranks=n_ranks, local_devices=local_devices)
+    if any(rcs):
+        if snapshot is not None:
+            metrics.write_text(snapshot)
+        _drop_checkpoints_past(ckpt_dir, resume_step)
+        rcs, outs = _launch_ranks(cfg_path, ckpt_dir, tmp_path,
+                                  n_ranks=n_ranks,
+                                  local_devices=local_devices)
+    return rcs, outs
 
 
 def _launch_two_ranks(cfg_path, ckpt_dir, tmp_path):
@@ -140,7 +178,9 @@ def test_two_process_train(tmp_path):
     cfg2["train"] = dict(TINY_CONFIG["train"], total_steps=5,
                          checkpoint_every=5)
     cfg_path.write_text(json.dumps(cfg2))
-    rcs, outs = _launch_two_ranks(cfg_path, ckpt_dir, tmp_path)
+    rcs, outs = _resume_with_retry(cfg_path, ckpt_dir, tmp_path,
+                                   n_ranks=2, local_devices=4,
+                                   resume_step=3)
     for rank, (rc, out) in enumerate(zip(rcs, outs)):
         assert rc == 0, \
             f"resume rank {rank} failed (logs in {tmp_path}):\n{out[-4000:]}"
@@ -175,8 +215,9 @@ def test_four_process_train_and_resume(tmp_path):
 
     cfg["train"] = dict(cfg["train"], total_steps=5, checkpoint_every=5)
     cfg_path.write_text(json.dumps(cfg))
-    rcs, outs = _launch_ranks(cfg_path, ckpt_dir, tmp_path,
-                              n_ranks=4, local_devices=2)
+    rcs, outs = _resume_with_retry(cfg_path, ckpt_dir, tmp_path,
+                                   n_ranks=4, local_devices=2,
+                                   resume_step=3)
     for rank, (rc, out) in enumerate(zip(rcs, outs)):
         assert rc == 0, \
             f"resume rank {rank} failed (logs in {tmp_path}):\n{out[-4000:]}"

@@ -110,6 +110,44 @@ def test_corrupt_batch_per_sample_independence():
     assert (per_sample_mae < 0.5).any() and (per_sample_mae > 5.0).any()
 
 
+def test_draw_stds_log_uniform_distribution():
+    """log_uniform spends equal mass per octave: the median lands at
+    sqrt(lo*hi), vs (lo+hi)/2 for uniform (ops/noise.py draw_stds)."""
+    from blind_image_denoising_tpu.ops.noise import draw_stds
+    key = jax.random.PRNGKey(4)
+    lo, hi = 1.0, 80.0
+    u = np.asarray(draw_stds(key, 20000, lo, hi, "uniform")).ravel()
+    g = np.asarray(draw_stds(key, 20000, lo, hi, "log_uniform")).ravel()
+    assert u.min() >= lo and u.max() <= hi
+    assert g.min() >= lo and g.max() <= hi
+    assert abs(np.median(u) - (lo + hi) / 2) < 2.0
+    assert abs(np.median(g) - np.sqrt(lo * hi)) < 1.0
+    # the point of the option: ~50% of log-uniform draws are low-noise
+    assert (g <= 10).mean() > 0.45
+    assert (u <= 10).mean() < 0.15
+    with pytest.raises(ValueError):
+        draw_stds(key, 4, lo, hi, "nope")
+
+
+def test_corrupt_batch_log_uniform_sampling():
+    key = jax.random.PRNGKey(5)
+    x = jnp.full((8, 16, 16, 3), 128.0)
+    noisy = ops.corrupt_batch(key, x, additive_noise=[1, 80],
+                              multiplicative_noise=None,
+                              noise_sampling="log_uniform")
+    assert noisy.shape == x.shape
+    assert float(jnp.mean(jnp.abs(noisy - x))) > 0.1
+
+    # regression: must trace under jit (the train step's real context) —
+    # jnp.log(lo) inside the trace returned a tracer that float() choked
+    # on; draw_stds now uses math.log on the static bounds
+    jitted = jax.jit(lambda k, v: ops.corrupt_batch(
+        k, v, additive_noise=[1, 80], multiplicative_noise=[0.1, 0.2],
+        noise_sampling="log_uniform"))
+    noisy_j = jitted(key, x)
+    assert noisy_j.shape == x.shape
+
+
 def test_random_flips():
     key = jax.random.PRNGKey(3)
     x = jnp.arange(2 * 4 * 4 * 1, dtype=jnp.float32).reshape(2, 4, 4, 1)

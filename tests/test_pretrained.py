@@ -183,6 +183,37 @@ def test_shipped_scratch_resnet_kitti_gate():
 
 @pytest.mark.skipif(not os.path.isdir(KITTI_DIR),
                     reason="KITTI test frames not mounted")
+def test_shipped_tpu_flagship_kitti_gate():
+    """The TPU-tuned flagship artifact (unet_laplacian_v6_tpu_scratch —
+    the per-level width/kernel architecture trained from scratch on the
+    35 mounted frames, docs/TRAINING_DEMO.md round 3b) gated on real
+    KITTI frames: must beat noisy on MAE at every README-sweep std and
+    stay within striking distance of its recorded sweep (margin absorbs
+    frame-set/crop differences vs the 4-held-out-frame protocol)."""
+    import blind_image_denoising_tpu as bid
+    if "unet_laplacian_v6_tpu_scratch" not in bid.models:
+        pytest.skip("shipped artifact not present")
+    den = bid.load_model("unet_laplacian_v6_tpu_scratch")
+
+    # (sigma, recorded MAE_denoised) from the training run's sweep
+    recorded = {10: 5.99, 20: 6.63, 40: 7.87, 80: 10.27}
+    clean_all = _kitti_crops(256)
+    rng = np.random.default_rng(0)
+    for std, rec in recorded.items():
+        clean_j = jnp.asarray(clean_all)
+        n = np.clip(rng.normal(0, std, clean_all.shape), -2 * std, 2 * std)
+        noisy = np.clip(np.round(clean_all + n), 0, 255).astype(np.uint8)
+        out = jnp.asarray(np.asarray(den(noisy)), jnp.float32)
+        mae_n = float(jnp.abs(jnp.asarray(noisy, jnp.float32)
+                              - clean_j).mean())
+        mae_d = float(jnp.abs(out - clean_j).mean())
+        assert mae_d < mae_n, f"std {std}: {mae_d:.2f} vs noisy {mae_n:.2f}"
+        assert mae_d < rec + 2.0, \
+            f"std {std}: MAE {mae_d:.2f} drifted from recorded {rec}"
+
+
+@pytest.mark.skipif(not os.path.isdir(KITTI_DIR),
+                    reason="KITTI test frames not mounted")
 def test_shipped_highnoise_artifact_kitti_gate():
     """The package's OWN headline artifact (unet_laplacian_v56_highnoise)
     gated on real KITTI frames at the high-noise stds it advertises:
