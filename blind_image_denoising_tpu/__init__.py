@@ -130,6 +130,10 @@ def load_model(name_or_path, quant: bool = False, tta: bool = False):
             model, variables = build_pretrained_v56(keras_path)
             return Denoiser(model, variables, pad_mode="pow2", tta=tta)
         except Exception as e:
+            if tta:
+                raise ValueError(
+                    f"tta=True needs a native-graph artifact, and the "
+                    f"import of [{keras_path}] failed: {e}") from e
             logger.warning(f"native .keras import failed ({e}); "
                            f"falling back to the TFLite graph")
     if tta:

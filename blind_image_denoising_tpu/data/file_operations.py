@@ -111,6 +111,23 @@ def load_image(
     return x
 
 
+def load_corner_crops(directory: Union[str, Path], height: int = 256,
+                      width: int = 256) -> np.ndarray:
+    """Top-left ``[height, width]`` crops of every image in ``directory``
+    large enough to supply one, stacked [N, height, width, 3] float32 in
+    [0, 255]. The acceptance-gate evaluation protocol (fixed crops, no
+    resampling — tests/test_pretrained.py, scripts/measure_tta.py)."""
+    crops = []
+    for f in sorted(os.listdir(str(directory))):
+        img = load_image(os.path.join(str(directory), f), num_channels=3)
+        if img.shape[0] >= height and img.shape[1] >= width:
+            crops.append(img[:height, :width])
+    if not crops:
+        raise ValueError(
+            f"no images of at least {height}x{width} in [{directory}]")
+    return np.stack(crops, axis=0).astype(np.float32)
+
+
 def shard_files_for_process(file_groups, process_index: int,
                             process_count: int):
     """Disjoint per-host file sharding for multi-host (DCN multi-slice)

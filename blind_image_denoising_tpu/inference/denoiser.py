@@ -137,26 +137,30 @@ class Denoiser:
             y = y[:, : y.shape[1] - pad_h, : y.shape[2] - pad_w, :]
         return y
 
-    def _run_tiled(self, x: jnp.ndarray) -> jnp.ndarray:
-        """Row-band tiling with halo; exact for halo ≥ half receptive
-        field (fully-convolutional model).
+    def _run_tiled(self, x: jnp.ndarray, axis: int = 1) -> jnp.ndarray:
+        """Band tiling with halo along ``axis`` (1 = rows, 2 = columns);
+        exact for halo ≥ half receptive field (fully-convolutional model).
 
         Band starts are aligned DOWN to a multiple of ``pad_multiple``
         (≥ the model's total downsample factor): strided/pooled 2×
-        downsampling samples absolute row parities, so misaligned band
-        offsets would shift every pyramid level's phase and leave visible
-        seams."""
-        _, h, w, _ = x.shape
+        downsampling samples absolute row/column parities, so misaligned
+        band offsets would shift every pyramid level's phase and leave
+        visible seams. Column tiling exists for the transposed members of
+        the TTA ensemble (and wide panoramas), whose long dimension lands
+        on axis 2."""
+        n = x.shape[axis]
         t, halo = self._tile_rows, self._tile_halo
         align = max(1, self._pad_multiple)
         outs = []
-        for start in range(0, h, t):
-            stop = min(start + t, h)
+        for start in range(0, n, t):
+            stop = min(start + t, n)
             lo = (max(0, start - halo) // align) * align
-            hi = min(h, stop + halo)
-            band = self._run_padded(x[:, lo:hi])
-            outs.append(band[:, start - lo: start - lo + (stop - start)])
-        return jnp.concatenate(outs, axis=1)
+            hi = min(n, stop + halo)
+            band = self._run_padded(
+                x[:, lo:hi] if axis == 1 else x[:, :, lo:hi])
+            sel = slice(start - lo, start - lo + (stop - start))
+            outs.append(band[:, sel] if axis == 1 else band[:, :, sel])
+        return jnp.concatenate(outs, axis=axis)
 
     def _e2e(self, x: jnp.ndarray) -> jnp.ndarray:
         """The whole serving pipeline, traceable as one program (rank and
@@ -167,8 +171,14 @@ class Denoiser:
         x = x.astype(jnp.float32)
 
         def run(img):
-            if self._tile_rows > 0 and img.shape[1] > self._tile_rows:
-                return self._run_tiled(img)
+            if self._tile_rows > 0:
+                # a TTA transpose member moves the long dimension to
+                # axis 2 — tile whichever axis exceeds the bound so the
+                # memory ceiling holds for every ensemble orientation
+                if img.shape[1] > self._tile_rows:
+                    return self._run_tiled(img, axis=1)
+                if img.shape[2] > self._tile_rows:
+                    return self._run_tiled(img, axis=2)
             return self._run_padded(img)
 
         if self._tta:

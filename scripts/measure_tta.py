@@ -19,17 +19,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 KITTI_DIR = "/root/reference/images/test/kitti/files"
 
 
-def kitti_crops(width: int = 256):
-    import numpy as np
-    from blind_image_denoising_tpu.data.file_operations import load_image
-    crops = []
-    for f in sorted(os.listdir(KITTI_DIR)):
-        img = load_image(os.path.join(KITTI_DIR, f), num_channels=3)
-        if img.shape[0] >= 256 and img.shape[1] >= width:
-            crops.append(img[:256, :width])
-    return np.stack(crops, axis=0).astype(np.float32)
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="unet_laplacian_v6_tpu_scratch")
@@ -42,9 +31,12 @@ def main():
     import numpy as np
     import jax.numpy as jnp
     import blind_image_denoising_tpu as bid
+    from blind_image_denoising_tpu.data.file_operations import \
+        load_corner_crops
+    from blind_image_denoising_tpu.inference.denoiser import Denoiser
     from blind_image_denoising_tpu.ops.losses import psnr
 
-    clean = kitti_crops()
+    clean = load_corner_crops(KITTI_DIR)
     clean_j = jnp.asarray(clean)
     stds = [int(s) for s in args.stds.split(",")]
     rng = np.random.default_rng(0)
@@ -54,8 +46,13 @@ def main():
     print(f"{'sigma':>6} {'MAE noisy':>10} {'MAE plain':>10} "
           f"{'MAE tta':>9} {'dMAE':>7} {'PSNR plain':>11} {'PSNR tta':>9}")
 
-    denoisers = {tta: bid.load_model(args.model, tta=tta)
-                 for tta in (False, True)}
+    plain = bid.load_model(args.model)
+    # reuse the loaded graph/params instead of re-deserializing; keep the
+    # source's padding config (the .keras import path serves pow2)
+    denoisers = {False: plain,
+                 True: Denoiser(plain.model, plain.variables, tta=True,
+                                pad_mode=plain._pad_mode,
+                                pad_multiple=plain._pad_multiple)}
 
     rows = []
     for std in stds:

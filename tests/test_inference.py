@@ -11,33 +11,10 @@ from blind_image_denoising_tpu.models.hydra import model_builder
 from blind_image_denoising_tpu.inference.denoiser import Denoiser
 
 
-@pytest.fixture(scope="module")
-def tiny_denoiser():
-    cfg = {"backbone": {
-        "type": "resnet", "input_shape": ["?", "?", 3], "filters": 4,
-        "no_layers": 1, "kernel_size": 3, "block_kernels": [3],
-        "block_filters": [4], "activation": "relu", "batchnorm": False,
-        "value_range": [0, 255], "kernel_regularizer": "l1",
-        "kernel_initializer": "glorot_normal"},
-        "denoiser": {"use_bias": False, "output_channels": 3}}
-    hydra = model_builder(cfg).hydra
-    x = jnp.zeros((1, 32, 32, 3))
-    variables = hydra.init({"params": jax.random.PRNGKey(0)}, x, train=False)
-    variables = {k: v for k, v in variables.items()
-                 if k in ("params", "batch_stats")}
-    return Denoiser(hydra, variables)
-
-
-@pytest.mark.parametrize("shape", [(32, 32, 3), (50, 70, 3), (1, 100, 3),
-                                   (2, 48, 64, 3)])
-def test_denoiser_any_size_uint8(tiny_denoiser, shape):
-    img = np.random.default_rng(0).integers(0, 256, shape, dtype=np.uint8)
-    out = tiny_denoiser(img)
-    assert out.shape == img.shape
-    assert out.dtype == np.uint8
-
-
 def _tiny_hydra():
+    """One tiny any-size resnet hydra shared by every test in this file
+    (single source for the config — they must all exercise the same
+    model)."""
     cfg = {"backbone": {
         "type": "resnet", "input_shape": ["?", "?", 3], "filters": 4,
         "no_layers": 1, "kernel_size": 3, "block_kernels": [3],
@@ -51,6 +28,21 @@ def _tiny_hydra():
     variables = {k: v for k, v in variables.items()
                  if k in ("params", "batch_stats")}
     return hydra, variables
+
+
+@pytest.fixture(scope="module")
+def tiny_denoiser():
+    hydra, variables = _tiny_hydra()
+    return Denoiser(hydra, variables)
+
+
+@pytest.mark.parametrize("shape", [(32, 32, 3), (50, 70, 3), (1, 100, 3),
+                                   (2, 48, 64, 3)])
+def test_denoiser_any_size_uint8(tiny_denoiser, shape):
+    img = np.random.default_rng(0).integers(0, 256, shape, dtype=np.uint8)
+    out = tiny_denoiser(img)
+    assert out.shape == img.shape
+    assert out.dtype == np.uint8
 
 
 def test_denoiser_tta_equivariance():
@@ -88,18 +80,7 @@ def test_denoiser_tta_spatial_mesh_rejected():
 
 
 def test_denoiser_float_mode():
-    cfg = {"backbone": {
-        "type": "resnet", "input_shape": ["?", "?", 3], "filters": 4,
-        "no_layers": 1, "kernel_size": 3, "block_kernels": [3],
-        "block_filters": [4], "activation": "relu", "batchnorm": False,
-        "value_range": [0, 255], "kernel_regularizer": "l1",
-        "kernel_initializer": "glorot_normal"},
-        "denoiser": {"use_bias": False, "output_channels": 3}}
-    hydra = model_builder(cfg).hydra
-    x = jnp.zeros((1, 16, 16, 3))
-    variables = hydra.init({"params": jax.random.PRNGKey(0)}, x, train=False)
-    variables = {k: v for k, v in variables.items()
-                 if k in ("params", "batch_stats")}
+    hydra, variables = _tiny_hydra()
     d = Denoiser(hydra, variables, cast_to_uint8=False)
     out = d(np.zeros((16, 16, 3), np.uint8))
     assert out.dtype == np.float32
@@ -296,22 +277,7 @@ def test_savedmodel_fixed_batch1_signature(tmp_path):
 def test_denoiser_pad_modes_and_tiling(tiny_denoiser):
     """pad='multiple' and row tiling agree with the pow2 path — the model
     is fully convolutional so all give the same pixels."""
-    from blind_image_denoising_tpu.models.hydra import model_builder
-    from blind_image_denoising_tpu.inference.denoiser import Denoiser
-
-    cfg = {"backbone": {
-        "type": "resnet", "input_shape": ["?", "?", 3], "filters": 4,
-        "no_layers": 1, "kernel_size": 3, "block_kernels": [3],
-        "block_filters": [4], "activation": "relu", "batchnorm": False,
-        "value_range": [0, 255], "kernel_regularizer": "l1",
-        "kernel_initializer": "glorot_normal"},
-        "denoiser": {"use_bias": False, "output_channels": 3}}
-    hydra = model_builder(cfg).hydra
-    x0 = jnp.zeros((1, 16, 16, 3))
-    variables = hydra.init({"params": jax.random.PRNGKey(0)}, x0, train=False)
-    variables = {k: v for k, v in variables.items()
-                 if k in ("params", "batch_stats")}
-
+    hydra, variables = _tiny_hydra()
     img = np.random.default_rng(0).integers(0, 256, (70, 90, 3),
                                             dtype=np.uint8)
     base = Denoiser(hydra, variables, pad_mode="pow2")(img)
@@ -323,6 +289,28 @@ def test_denoiser_pad_modes_and_tiling(tiny_denoiser):
     r = 4
     np.testing.assert_array_equal(base[r:-r, r:-r], mult[r:-r, r:-r])
     np.testing.assert_array_equal(mult, tiled)  # same pad mode → identical
+
+    # column tiling (a WIDE image: the long dim on axis 2) agrees too —
+    # the memory bound must hold for both orientations, incl. the
+    # transposed members of the TTA ensemble
+    wide = np.random.default_rng(1).integers(0, 256, (24, 120, 3),
+                                             dtype=np.uint8)
+    full = Denoiser(hydra, variables, pad_mode="multiple",
+                    pad_multiple=16)(wide)
+    col_tiled = Denoiser(hydra, variables, pad_mode="multiple",
+                         pad_multiple=16, tile_rows=48, tile_halo=8)(wide)
+    np.testing.assert_array_equal(full, col_tiled)
+
+    # TTA + tiling: a tall image whose transposed members are wide; the
+    # tiled ensemble must match the untiled ensemble exactly
+    tall = np.random.default_rng(2).integers(0, 256, (120, 24, 3),
+                                             dtype=np.uint8)
+    tta_full = Denoiser(hydra, variables, pad_mode="multiple",
+                        pad_multiple=16, tta=True)(tall)
+    tta_tiled = Denoiser(hydra, variables, pad_mode="multiple",
+                         pad_multiple=16, tile_rows=48, tile_halo=8,
+                         tta=True)(tall)
+    np.testing.assert_array_equal(tta_full, tta_tiled)
 
 
 def test_tflite_legacy_resize_bilinear_grid():

@@ -126,6 +126,8 @@ def _resume_with_retry(cfg_path, ckpt_dir, tmp_path, n_ranks,
     if any(rcs):
         if snapshot is not None:
             metrics.write_text(snapshot)
+        elif metrics.exists():
+            metrics.unlink()  # failed attempt created it; retry starts clean
         _drop_checkpoints_past(ckpt_dir, resume_step)
         rcs, outs = _launch_ranks(cfg_path, ckpt_dir, tmp_path,
                                   n_ranks=n_ranks,

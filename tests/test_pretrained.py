@@ -99,14 +99,11 @@ V56_KERAS = ("/root/reference/bfcnn/pretrained/unet_laplacian_v5.6/"
 
 
 def _kitti_crops(width: int) -> np.ndarray:
-    from blind_image_denoising_tpu.data.file_operations import load_image
-    crops = []
-    for f in sorted(os.listdir(KITTI_DIR)):
-        img = load_image(os.path.join(KITTI_DIR, f), num_channels=3)
-        if img.shape[0] >= 256 and img.shape[1] >= width:
-            crops.append(img[:256, :width])
+    from blind_image_denoising_tpu.data.file_operations import \
+        load_corner_crops
+    crops = load_corner_crops(KITTI_DIR, height=256, width=width)
     assert len(crops) >= 10, "expected the full KITTI test set"
-    return np.stack(crops, axis=0).astype(np.float32)
+    return crops
 
 
 @pytest.mark.skipif(not os.path.isfile(V56_KERAS),
