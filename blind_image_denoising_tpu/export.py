@@ -29,6 +29,10 @@ def main(argv=None) -> int:
                              "(quant.msgpack) — the native analog of the "
                              "reference's int8 TFLite export; see "
                              "docs/QUANTIZATION.md")
+    parser.add_argument("--no-ema", dest="use_ema", action="store_false",
+                        default=True,
+                        help="export the raw last iterate even when the "
+                             "checkpoint tracked a weight EMA (train.ema)")
     parser.add_argument("--platform", default=None, type=str,
                         help="force a jax platform (e.g. cpu)")
     args = parser.parse_args(argv)
@@ -44,7 +48,8 @@ def main(argv=None) -> int:
         to_stablehlo=args.to_stablehlo,
         to_tflite=args.to_tflite,
         test_model=args.test_model,
-        quantize=args.quantize)
+        quantize=args.quantize,
+        use_ema=args.use_ema)
     return 0
 
 

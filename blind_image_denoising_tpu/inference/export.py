@@ -52,7 +52,8 @@ def export_model(
         test_model: bool = False,
         reference_shape=(1, 256, 256, 3),
         quantize: bool = False,
-        calibration_images=None) -> str:
+        calibration_images=None,
+        use_ema: bool = True) -> str:
     """Restore the latest checkpoint and write a standalone artifact dir.
 
     ``quantize``: additionally calibrate int8 activation scales (on
@@ -60,7 +61,11 @@ def export_model(
     as ``quant.msgpack`` — the native analog of the reference's int8
     TFLite export (its export pipeline runs TFLite PTQ with a
     representative dataset). See docs/QUANTIZATION.md for the measured
-    quality/throughput trade."""
+    quality/throughput trade.
+
+    ``use_ema``: when the checkpoint tracked a weight EMA (train.ema),
+    export those averaged weights — the ones training evaluated — instead
+    of the last raw iterate. ``False`` forces the raw params."""
     from ..training.checkpoint import CheckpointManager
     from ..training.train_state import create_train_state
     from ..training.optimizer import optimizer_builder
@@ -85,7 +90,12 @@ def export_model(
             f"no checkpoint found in [{checkpoint_directory}]")
     state = manager.restore(state)
 
-    variables = {"params": state.params}
+    params = state.params
+    if use_ema and state.ema_params is not None:
+        params = state.ema_params
+        logger.info("exporting the EMA weights (train.ema was on; "
+                    "pass use_ema=False for the raw iterate)")
+    variables = {"params": params}
     if state.batch_stats:
         variables["batch_stats"] = state.batch_stats
 

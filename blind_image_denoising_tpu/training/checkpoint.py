@@ -48,15 +48,37 @@ class CheckpointManager:
 
     def restore(self, state: TrainState,
                 step: Optional[int] = None) -> TrainState:
-        """Restore into the structure of ``state`` (abstract target)."""
+        """Restore into the structure of ``state`` (abstract target).
+
+        Tolerates an ``ema_params`` presence mismatch in either direction
+        (a pre-EMA checkpoint restored into an EMA-enabled run, or an
+        EMA checkpoint restored by a caller that didn't ask for EMA —
+        e.g. export, which wants the EMA weights whenever the run tracked
+        them): on a structure error the restore retries with the other
+        ema shape, so checkpoints stay forward- and backward-compatible."""
         step = step if step is not None else self._mgr.latest_step()
         if step is None:
             logger.info("no checkpoint found; starting from scratch")
             return state
         abstract = jax.tree_util.tree_map(
             ocp.utils.to_shape_dtype_struct, state)
-        restored = self._mgr.restore(
-            step, args=ocp.args.StandardRestore(abstract))
+        try:
+            restored = self._mgr.restore(
+                step, args=ocp.args.StandardRestore(abstract))
+        except Exception as first_err:
+            alt = state.replace(
+                ema_params=None if state.ema_params is not None
+                else state.params)
+            abstract = jax.tree_util.tree_map(
+                ocp.utils.to_shape_dtype_struct, alt)
+            try:
+                restored = self._mgr.restore(
+                    step, args=ocp.args.StandardRestore(abstract))
+            except Exception:
+                raise first_err
+            logger.info(
+                "checkpoint ema_params presence differs from the target "
+                "structure; restored with the checkpoint's own layout")
         logger.info(f"restored checkpoint step {step} from {self._directory}")
         return restored
 

@@ -131,6 +131,28 @@ def train_loop(
             logger.warning(f"fine-tune weight load failed ({e}); "
                            f"training from scratch")
 
+    # --- optional weight EMA (train.ema = decay, e.g. 0.9995). Tracked
+    # inside the jitted step; evaluation below and export prefer the EMA
+    # weights. New capability vs the reference (no weight averaging).
+    ema_decay = float(train_config.get("ema", 0.0))
+    if not 0.0 <= ema_decay < 1.0:
+        raise ValueError(f"train.ema must be in [0, 1), got {ema_decay}")
+    if ema_decay > 0.0:
+        if state.ema_params is None or int(state.step) == 0:
+            # fresh run, fine-tuned weights, or a resume from a pre-EMA
+            # checkpoint: seed the average at the current weights — as a
+            # COPY: the jitted step donates the state, and aliased
+            # params/ema_params buffers would be donated twice
+            state = state.replace(ema_params=jax.tree_util.tree_map(
+                lambda p: jnp.array(p, copy=True), state.params))
+        logger.info(f"weight EMA on (decay {ema_decay}, "
+                    f"num_updates-style ramp)")
+    elif state.ema_params is not None:
+        # EMA switched off for this run: a stale average must not keep
+        # riding along (export prefers ema_params whenever present)
+        state = state.replace(ema_params=None)
+        logger.info("dropping checkpointed ema_params (train.ema is 0)")
+
     # --- parallel setup: DP over all devices (clamped so the per-step
     # batch divides the data axis)
     import math
@@ -235,7 +257,8 @@ def train_loop(
             grad_stats=with_stats,
             teacher_fn=teacher_fn,
             distill_weight=distill_opts.get("weight", 1.0),
-            distill_gt_weight=distill_opts.get("gt_weight", 1.0))
+            distill_gt_weight=distill_opts.get("gt_weight", 1.0),
+            ema_decay=ema_decay)
         return shard_train_step(step_fn, mesh, spatial=spatial_training)
 
     # two compiled programs: the hot step carries NO per-kernel percentile
@@ -434,7 +457,11 @@ def train_loop(
                 if pending_metrics is not None:
                     _process_metrics(*pending_metrics)
                     pending_metrics = None
-                _noise_sweep_eval(eval_step, state, eval_batch, writer, step,
+                # evaluate the weights that ship: the EMA when tracked
+                eval_view = state if state.ema_params is None \
+                    else state.replace(params=state.ema_params)
+                _noise_sweep_eval(eval_step, eval_view, eval_batch, writer,
+                                  step,
                                   max_images=int(train_config.get(
                                       "visualization_number", 4)))
                 # figure/stat building is pure host work whose writes are
@@ -482,14 +509,20 @@ def train_loop(
                     "every_epochs", 1)) == 0:
             from ..pruning import prune_function_builder, prune_params
             from ..parallel.multihost import broadcast_from_primary, to_host
-            pruned = prune_params(to_host(state.params),
-                                  prune_function_builder(prune_cfg))
+            prune_fn = prune_function_builder(prune_cfg)
+            pruned = prune_params(to_host(state.params), prune_fn)
             # the shipped strategies are deterministic (seeded RNG, full
             # SVD), but only the primary's values are authoritative: a
             # future non-deterministic strategy must not silently
             # desynchronize ranks
             pruned = broadcast_from_primary(pruned)
             state = state.replace(params=pruned)
+            if state.ema_params is not None:
+                # the average must honor the same sparsity, or export (which
+                # prefers EMA) would undo the prune
+                pruned_ema = broadcast_from_primary(
+                    prune_params(to_host(state.ema_params), prune_fn))
+                state = state.replace(ema_params=pruned_ema)
             logger.info(f"epoch {int(state.epoch)}: pruned weights "
                         f"({prune_cfg.get('strategy')})")
 

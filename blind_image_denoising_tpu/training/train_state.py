@@ -20,11 +20,20 @@ class TrainState(struct.PyTreeNode):
     params: Any
     batch_stats: Any
     opt_state: Any
+    # exponential moving average of params (train.ema > 0); None (an empty
+    # pytree) when EMA is off, so pre-EMA checkpoints keep their structure
+    ema_params: Any = None
 
 
 def create_train_state(model, tx: optax.GradientTransformation,
-                       rng: jax.Array, sample_input: jnp.ndarray) -> TrainState:
-    """Initialize model variables and optimizer state."""
+                       rng: jax.Array,
+                       sample_input: jnp.ndarray,
+                       ema: bool = False) -> TrainState:
+    """Initialize model variables and optimizer state.
+
+    ``ema=True`` seeds ``ema_params`` with a copy of the initial params
+    (the tf.train.ExponentialMovingAverage convention — no zero-debias
+    needed; the in-step adaptive decay handles early-step bias)."""
     variables = model.init({"params": rng}, sample_input, train=False)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
@@ -34,6 +43,7 @@ def create_train_state(model, tx: optax.GradientTransformation,
         params=params,
         batch_stats=batch_stats,
         opt_state=tx.init(params),
+        ema_params=jax.tree_util.tree_map(jnp.array, params) if ema else None,
     )
 
 

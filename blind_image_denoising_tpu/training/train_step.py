@@ -49,7 +49,8 @@ def build_train_step(
         grad_stats: bool = False,
         teacher_fn=None,
         distill_weight: float = 1.0,
-        distill_gt_weight: float = 1.0):
+        distill_gt_weight: float = 1.0,
+        ema_decay: float = 0.0):
     """Returns ``train_step(state, batch, rng, depth_weights) ->
     (new_state, metrics)``.
 
@@ -60,6 +61,16 @@ def build_train_step(
     to the same corrupted micro-batch; its finest-scale output adds a
     ``distill_weight``-scaled student-vs-teacher loss while the hard-GT
     losses are scaled by ``distill_gt_weight`` (0 = pure distillation).
+
+    ``ema_decay``: when > 0, ``state.ema_params`` tracks an exponential
+    moving average of the params INSIDE the jitted step (one fused
+    tree-map — pure VPU elementwise, no extra HBM round trips beyond the
+    EMA tree itself). The effective decay follows the
+    ``tf.train.ExponentialMovingAverage(num_updates=step)`` ramp
+    ``min(decay, (1 + step) / (10 + step))`` so the average tracks
+    quickly at the start instead of dragging the random init for
+    ~1/(1-decay) steps. New capability vs the reference (which has no
+    weight averaging); evaluation/export prefer the EMA weights.
 
     ``grad_stats``: also return per-kernel gradient five-number summaries
     (min/p25/p50/p75/max) under ``metrics["grad_stats"]`` for gradient
@@ -197,11 +208,21 @@ def build_train_step(
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
 
+        ema_params = state.ema_params
+        if ema_decay > 0:
+            # structure mismatch (ema_params=None) fails loudly here —
+            # the loop seeds ema_params before the first step
+            t = state.step.astype(jnp.float32)
+            d = jnp.minimum(jnp.float32(ema_decay), (1.0 + t) / (10.0 + t))
+            ema_params = jax.tree_util.tree_map(
+                lambda e, p: d * e + (1.0 - d) * p, state.ema_params, params)
+
         new_state = state.replace(
             step=state.step + 1,
             params=params,
             batch_stats=batch_stats,
-            opt_state=opt_state)
+            opt_state=opt_state,
+            ema_params=ema_params)
 
         metrics["grad_norm"] = optax.global_norm(grads)
         if grad_stats:
