@@ -74,6 +74,9 @@ def main():
                          "spends ~half the std draws below sqrt(lo*hi) — "
                          "the low-sigma training-exposure lever, "
                          "ops/noise.py draw_stds)")
+    ap.add_argument("--ema", type=float, default=None,
+                    help="train.ema decay (e.g. 0.9995) — weight EMA; "
+                         "export/eval then use the averaged weights")
     ap.add_argument("--init-from", default=None,
                     help="checkpoint dir to load initial weights from "
                          "(fine-tune instead of from-scratch)")
@@ -111,6 +114,8 @@ def main():
         cfg["train"]["gpu_batches_per_step"] = args.grad_accum
     if args.distill:
         cfg["train"]["distillation"] = json.loads(args.distill)
+    if args.ema is not None:
+        cfg["train"]["ema"] = args.ema
     cfg["train"]["checkpoint_every"] = 5000
     cfg["train"]["visualization_every"] = -1
     cfg["train"]["use_test_images"] = False
