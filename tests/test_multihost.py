@@ -33,6 +33,10 @@ TINY_CONFIG = {
         "checkpoint_every": 3,
         "use_test_images": False,
         "gpu_batches_per_step": 2,
+        # weight EMA rides along in every multi-host test: the averaged
+        # tree must replicate, checkpoint and resume across processes
+        # exactly like params (training/train_state.py)
+        "ema": 0.9,
         "optimizer": {
             "type": "adam",
             "schedule": {
