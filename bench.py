@@ -55,8 +55,41 @@ BATCH = 32
 K1, K2 = 10, 30
 
 
+def _acquisition_watchdog(timeout_s: int = 900):
+    """The axon TPU is single-tenant and its claim wait is UNBOUNDED: a
+    stale server-side lease (e.g. from an uncleanly killed process) makes
+    ``jax.devices()`` sleep-retry forever. Rather than hang the driver,
+    print an honest one-line JSON error and exit once ``timeout_s``
+    passes without device acquisition. The watchdog is disarmed the
+    moment devices are acquired; compile time (1-7 min per cold program
+    through the tunnel) is intentionally NOT bounded."""
+    import os
+    import threading
+
+    acquired = threading.Event()
+
+    def watch():
+        if not acquired.wait(timeout_s):
+            print(json.dumps({
+                "metric": "unet_laplacian_v6_tpu_256px_inference",
+                "value": None,
+                "unit": "images/sec",
+                "vs_baseline": None,
+                "error": f"TPU not acquired within {timeout_s}s — the "
+                         f"single-tenant axon claim is held elsewhere "
+                         f"(stale lease?); rerun when the chip frees up",
+            }), flush=True)
+            os._exit(2)
+
+    threading.Thread(target=watch, daemon=True).start()
+    return acquired
+
+
 def main():
+    acquired = _acquisition_watchdog()
     import jax
+    jax.devices()
+    acquired.set()
     import jax.numpy as jnp
     from jax import lax
     import blind_image_denoising_tpu as bid
