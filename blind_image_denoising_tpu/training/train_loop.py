@@ -124,9 +124,15 @@ def train_loop(
         try:
             donor = CheckpointManager(str(weights_directory), max_to_keep=1)
             donor_state = donor.restore(state)
-            state = state.replace(params=donor_state.params,
+            # an EMA-tracking donor's averaged weights are the ones its
+            # own export ships — fine-tune from those, not the raw iterate
+            donor_params = donor_state.ema_params \
+                if donor_state.ema_params is not None else donor_state.params
+            state = state.replace(params=donor_params,
                                   batch_stats=donor_state.batch_stats)
-            logger.info(f"loaded fine-tune weights from {weights_directory}")
+            logger.info(f"loaded fine-tune weights from {weights_directory}"
+                        + (" (EMA)" if donor_state.ema_params is not None
+                           else ""))
         except Exception as e:
             logger.warning(f"fine-tune weight load failed ({e}); "
                            f"training from scratch")

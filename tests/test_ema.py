@@ -166,6 +166,25 @@ def test_train_loop_ema_end_to_end(tmp_path):
     assert float(np.abs(ema_leaf - raw_leaf).max()) > 0
 
 
+def test_finetune_prefers_donor_ema(tmp_path):
+    """weights_directory pointing at an EMA-tracking run loads the
+    donor's AVERAGED weights — the same ones the donor's export ships."""
+    from blind_image_denoising_tpu.training.train_loop import train_loop
+    from blind_image_denoising_tpu.training.checkpoint import CheckpointManager
+
+    donor_state = train_loop(_loop_config(total_steps=2, ema=0.5),
+                             tmp_path / "donor")
+    # a 0-step run: fine-tune load happens, no optimizer update after
+    cfg = _loop_config(total_steps=0, ema=0.0)
+    cfg["train"]["epochs"] = 0
+    got = train_loop(cfg, tmp_path / "ft",
+                     weights_directory=tmp_path / "donor")
+    np.testing.assert_allclose(
+        jax.tree_util.tree_leaves(jax.device_get(got.params))[0],
+        jax.tree_util.tree_leaves(jax.device_get(donor_state.ema_params))[0],
+        rtol=1e-6)
+
+
 def test_train_loop_rejects_bad_ema():
     from blind_image_denoising_tpu.training.train_loop import train_loop
     with pytest.raises(ValueError, match="train.ema"):
