@@ -118,8 +118,8 @@ def load_corner_crops(directory: Union[str, Path], height: int = 256,
     [0, 255]. The acceptance-gate evaluation protocol (fixed crops, no
     resampling — tests/test_pretrained.py, scripts/measure_tta.py)."""
     crops = []
-    for f in sorted(os.listdir(str(directory))):
-        img = load_image(os.path.join(str(directory), f), num_channels=3)
+    for path in image_filenames(directory):
+        img = load_image(path, num_channels=3)
         if img.shape[0] >= height and img.shape[1] >= width:
             crops.append(img[:height, :width])
     if not crops:

@@ -137,7 +137,8 @@ class Denoiser:
             y = y[:, : y.shape[1] - pad_h, : y.shape[2] - pad_w, :]
         return y
 
-    def _run_tiled(self, x: jnp.ndarray, axis: int = 1) -> jnp.ndarray:
+    def _run_tiled(self, x: jnp.ndarray, axis: int = 1,
+                   recurse: bool = True) -> jnp.ndarray:
         """Band tiling with halo along ``axis`` (1 = rows, 2 = columns);
         exact for halo ≥ half receptive field (fully-convolutional model).
 
@@ -147,17 +148,24 @@ class Denoiser:
         band offsets would shift every pyramid level's phase and leave
         visible seams. Column tiling exists for the transposed members of
         the TTA ensemble (and wide panoramas), whose long dimension lands
-        on axis 2."""
+        on axis 2. A band whose OTHER spatial axis still exceeds the
+        bound takes ONE perpendicular tiling pass (``recurse`` guards
+        against ping-ponging: an inner band always spans the outer
+        band's tile+2·halo extent), so an image large on both axes
+        decomposes into patches of at most (tile+2·halo)²."""
         n = x.shape[axis]
         t, halo = self._tile_rows, self._tile_halo
         align = max(1, self._pad_multiple)
+        other = 3 - axis
         outs = []
         for start in range(0, n, t):
             stop = min(start + t, n)
             lo = (max(0, start - halo) // align) * align
             hi = min(n, stop + halo)
-            band = self._run_padded(
-                x[:, lo:hi] if axis == 1 else x[:, :, lo:hi])
+            band = x[:, lo:hi] if axis == 1 else x[:, :, lo:hi]
+            band = self._run_tiled(band, axis=other, recurse=False) \
+                if recurse and band.shape[other] > t \
+                else self._run_padded(band)
             sel = slice(start - lo, start - lo + (stop - start))
             outs.append(band[:, sel] if axis == 1 else band[:, :, sel])
         return jnp.concatenate(outs, axis=axis)
@@ -172,13 +180,14 @@ class Denoiser:
 
         def run(img):
             if self._tile_rows > 0:
-                # a TTA transpose member moves the long dimension to
-                # axis 2 — tile whichever axis exceeds the bound so the
-                # memory ceiling holds for every ensemble orientation
-                if img.shape[1] > self._tile_rows:
-                    return self._run_tiled(img, axis=1)
-                if img.shape[2] > self._tile_rows:
-                    return self._run_tiled(img, axis=2)
+                # tile the LONGER axis first (a TTA transpose member
+                # moves the long dimension to axis 2); _run_tiled
+                # recurses into the perpendicular axis when a band is
+                # still over the bound, so the memory ceiling holds for
+                # every orientation AND for images large on both axes
+                axis = 1 if img.shape[1] >= img.shape[2] else 2
+                if img.shape[axis] > self._tile_rows:
+                    return self._run_tiled(img, axis=axis)
             return self._run_padded(img)
 
         if self._tta:

@@ -60,14 +60,28 @@ class CheckpointManager:
         if step is None:
             logger.info("no checkpoint found; starting from scratch")
             return state
+        target = state
+        try:
+            # align the target's ema layout with the checkpoint's up
+            # front (metadata read, no array IO) so the common case needs
+            # exactly one restore attempt
+            meta_tree = self._mgr.item_metadata(step).tree
+            ckpt_has_ema = meta_tree.get("ema_params") is not None
+            if ckpt_has_ema and state.ema_params is None:
+                target = state.replace(ema_params=state.params)
+            elif not ckpt_has_ema and state.ema_params is not None:
+                target = state.replace(ema_params=None)
+        except Exception:
+            pass  # metadata probe is best-effort (orbax API drift);
+            # the retry below still covers the mismatch
         abstract = jax.tree_util.tree_map(
-            ocp.utils.to_shape_dtype_struct, state)
+            ocp.utils.to_shape_dtype_struct, target)
         try:
             restored = self._mgr.restore(
                 step, args=ocp.args.StandardRestore(abstract))
         except Exception as first_err:
-            alt = state.replace(
-                ema_params=None if state.ema_params is not None
+            alt = target.replace(
+                ema_params=None if target.ema_params is not None
                 else state.params)
             abstract = jax.tree_util.tree_map(
                 ocp.utils.to_shape_dtype_struct, alt)

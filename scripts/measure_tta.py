@@ -47,6 +47,11 @@ def main():
           f"{'MAE tta':>9} {'dMAE':>7} {'PSNR plain':>11} {'PSNR tta':>9}")
 
     plain = bid.load_model(args.model)
+    if not isinstance(plain, Denoiser):
+        raise SystemExit(
+            f"--model {args.model} loaded as {type(plain).__name__}; the "
+            f"TTA ensemble needs a native-graph artifact (not a "
+            f"TFLite/SavedModel executor)")
     # reuse the loaded graph/params instead of re-deserializing; keep the
     # source's padding config (the .keras import path serves pow2)
     denoisers = {False: plain,

@@ -16,18 +16,12 @@ from blind_image_denoising_tpu.training.optimizer import optimizer_builder
 from blind_image_denoising_tpu.training.train_state import create_train_state
 from blind_image_denoising_tpu.training.train_step import build_train_step
 
-TINY_BACKBONE = {
-    "type": "resnet", "input_shape": ["?", "?", 3], "filters": 4,
-    "no_layers": 1, "kernel_size": 3, "block_kernels": [3],
-    "block_filters": [4], "activation": "relu", "batchnorm": False,
-    "value_range": [0, 255], "kernel_regularizer": "l1",
-    "kernel_initializer": "glorot_normal"}
+from conftest import TINY_RESNET_MODEL  # noqa: E402
 
 
 def _tiny_setup(ema: bool):
-    cfg = {"backbone": dict(TINY_BACKBONE),
-           "denoiser": {"use_bias": False, "output_channels": 3}}
-    hydra = model_builder(cfg).hydra
+    import copy
+    hydra = model_builder(copy.deepcopy(TINY_RESNET_MODEL)).hydra
     loss_fns = loss_function_builder(
         {"hinge": 0.0, "mae_multiplier": 1.0, "ssim_multiplier": -1.0,
          "regularization": 0.0})
@@ -109,9 +103,9 @@ def test_checkpoint_tolerates_ema_presence_mismatch(tmp_path):
 
 
 def _loop_config(total_steps: int, ema: float):
+    import copy
     return {
-        "model": {"backbone": dict(TINY_BACKBONE),
-                  "denoiser": {"use_bias": False, "output_channels": 3}},
+        "model": copy.deepcopy(TINY_RESNET_MODEL),
         "train": {"epochs": 0, "total_steps": total_steps,
                   "checkpoint_every": -1, "visualization_every": -1,
                   "use_test_images": False, "ema": ema,

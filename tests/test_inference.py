@@ -11,23 +11,7 @@ from blind_image_denoising_tpu.models.hydra import model_builder
 from blind_image_denoising_tpu.inference.denoiser import Denoiser
 
 
-def _tiny_hydra():
-    """One tiny any-size resnet hydra shared by every test in this file
-    (single source for the config — they must all exercise the same
-    model)."""
-    cfg = {"backbone": {
-        "type": "resnet", "input_shape": ["?", "?", 3], "filters": 4,
-        "no_layers": 1, "kernel_size": 3, "block_kernels": [3],
-        "block_filters": [4], "activation": "relu", "batchnorm": False,
-        "value_range": [0, 255], "kernel_regularizer": "l1",
-        "kernel_initializer": "glorot_normal"},
-        "denoiser": {"use_bias": False, "output_channels": 3}}
-    hydra = model_builder(cfg).hydra
-    x = jnp.zeros((1, 16, 16, 3))
-    variables = hydra.init({"params": jax.random.PRNGKey(0)}, x, train=False)
-    variables = {k: v for k, v in variables.items()
-                 if k in ("params", "batch_stats")}
-    return hydra, variables
+from conftest import tiny_resnet_hydra as _tiny_hydra  # noqa: E402
 
 
 @pytest.fixture(scope="module")
@@ -300,6 +284,16 @@ def test_denoiser_pad_modes_and_tiling(tiny_denoiser):
     col_tiled = Denoiser(hydra, variables, pad_mode="multiple",
                          pad_multiple=16, tile_rows=48, tile_halo=8)(wide)
     np.testing.assert_array_equal(full, col_tiled)
+
+    # both axes over the bound: the row pass recurses one perpendicular
+    # column pass per band — still exact vs untiled
+    big = np.random.default_rng(3).integers(0, 256, (120, 120, 3),
+                                            dtype=np.uint8)
+    full_big = Denoiser(hydra, variables, pad_mode="multiple",
+                        pad_multiple=16)(big)
+    grid_tiled = Denoiser(hydra, variables, pad_mode="multiple",
+                          pad_multiple=16, tile_rows=48, tile_halo=8)(big)
+    np.testing.assert_array_equal(full_big, grid_tiled)
 
     # TTA + tiling: a tall image whose transposed members are wide; the
     # tiled ensemble must match the untiled ensemble exactly
