@@ -206,3 +206,30 @@ def test_close_unblocks_queued_callers():
 
     with pytest.raises(RuntimeError, match="closed"):
         b(np.zeros((8, 8, 3), np.uint8))
+
+
+def test_batching_over_tta_denoiser_exact():
+    """The batcher composes with a real TTA Denoiser: batched answers are
+    bitwise the TTA ensemble's single-request answers (the ensemble runs
+    inside the one jitted program, so micro-batching is transparent)."""
+    from conftest import tiny_resnet_hydra
+    from blind_image_denoising_tpu.inference.denoiser import Denoiser
+
+    hydra, variables = tiny_resnet_hydra()
+    tta = Denoiser(hydra, variables, pad_mode="multiple", pad_multiple=16,
+                   tta=True)
+    b = BatchingDenoiser(tta, max_batch=4, max_wait_ms=20.0)
+    imgs = [np.random.default_rng(i).integers(0, 256, (24, 24, 3),
+                                              dtype=np.uint8)
+            for i in range(4)]
+    results = [None] * 4
+    threads = [threading.Thread(
+        target=lambda i=i: results.__setitem__(i, b(imgs[i])))
+        for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    b.close()
+    for img, got in zip(imgs, results):
+        np.testing.assert_array_equal(got, tta(img))
