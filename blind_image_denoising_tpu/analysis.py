@@ -1,0 +1,344 @@
+"""Bias-free interpretability analysis: exact adaptive filters, net-bias
+maps, and scale-equivariance measurement.
+
+The reference's core scientific claim (reference README.md:24-40, after
+the CVPR-2020 bias-free denoising paper arXiv:1906.05478) is that a
+denoiser without additive constants is
+
+* **scale-equivariant** — ``f(a*x) = a*f(x)`` — so one model generalizes
+  across noise levels, and
+* **exactly locally linear** — ``f(x) = A(x) @ x`` where ``A(x)`` is an
+  input-adaptive filter matrix — so every output pixel is an
+  interpretable *weighted mask* over input pixels (the reference README
+  shows such mask figures but ships no tooling to produce them).
+
+On JAX this analysis is first-class instead of an afterthought:
+
+* one ``jax.vjp`` cotangent row yields the **exact** adaptive filter of
+  an output pixel (a row of the Jacobian), batched over pixels with
+  ``vmap`` — no finite differences, no approximation;
+* one ``jax.jvp`` in the direction of the centered input yields
+  ``J(x)·(x−c)`` for the *whole image* at ~the cost of two forwards
+  (Euler's homogeneous-function identity), giving the paper's net-bias
+  map ``b(x) = f(x) − c − J(x)·(x−c)`` everywhere at once.
+
+Exactness caveats, reported rather than assumed away: the pixel-domain
+model is affine around the value-range center ``c = (v_min+v_max)/2``
+(the normalizer maps ``x → x/255 − 0.5``), so homogeneity holds in the
+*centered* variable ``d = x − c``. A purely bias-free piecewise-linear
+network (the README resnet family: ReLU, ``use_bias=False``, no BN
+centering) has ``b ≈ 0`` exactly; the ``tanh(2x)·0.51`` denoiser head,
+value clipping, and any gates/attention/FiLM modulation contribute a
+small, *measured* ``|b|``. All tools return those residuals.
+"""
+
+from typing import Callable, NamedTuple, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .logger import logger
+
+#: pixel-domain center of the default [0, 255] value range — the point the
+#: normalizer (ops/normalize.py) maps to 0, around which a bias-free
+#: network is positively homogeneous
+DEFAULT_CENTER = 127.5
+
+
+def forward_from_denoiser(denoiser) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """A differentiable single-image float forward ``f: [H,W,C] float in
+    [0,255] → [H,W,C] float32`` from a native-graph :class:`Denoiser`.
+
+    Raises for TFLite / SavedModel callables — those execute outside JAX
+    and cannot be differentiated; load a native exported artifact or the
+    ``model_hydra.keras`` import instead."""
+    from .inference.denoiser import Denoiser
+    if not isinstance(denoiser, Denoiser):
+        raise TypeError(
+            "analysis needs a native-graph Denoiser (a params.msgpack "
+            "artifact or the .keras import); TFLite/SavedModel callables "
+            "are not differentiable")
+
+    def forward(x):
+        return denoiser.float_forward(x)
+
+    return forward
+
+
+class FilterResult(NamedTuple):
+    """Adaptive filters at a set of output pixels.
+
+    filters:   [N, H, W, C] — exact Jacobian rows a_p ("weighted mask")
+    outputs:   [N] — the denoised value f(x)[p] at each pixel
+    bias:      [N] — net bias b_p = f(x)[p] − c − ⟨a_p, x − c⟩
+    weight_sum:[N] — Σ a_p (≈1 when the output is a weighted average)
+    denoised:  [H, W, C] — the full denoised image f(x)
+    pixels:    the (row, col) list analyzed
+    """
+    filters: np.ndarray
+    outputs: np.ndarray
+    bias: np.ndarray
+    weight_sum: np.ndarray
+    denoised: np.ndarray
+    pixels: Sequence[Tuple[int, int]]
+
+
+def adaptive_filters(
+        forward: Callable,
+        image: np.ndarray,
+        pixels: Sequence[Tuple[int, int]],
+        channel: Optional[int] = None,
+        center: float = DEFAULT_CENTER) -> FilterResult:
+    """Exact adaptive-filter rows of the Jacobian of ``forward`` at
+    ``image`` for each output pixel in ``pixels``.
+
+    ``channel=None`` analyzes the channel-mean output (one mask per
+    pixel); an int selects that output channel. One linearization of the
+    network is shared across pixels; the cotangent rows are vmapped —
+    on TPU the whole batch of transposed passes runs as one program.
+    """
+    x = jnp.asarray(image, jnp.float32)
+    if x.ndim != 3:
+        raise ValueError(f"image must be [H, W, C], got {x.shape}")
+    y, vjp_fn = jax.vjp(forward, x)
+    n_ch = y.shape[-1]
+
+    rows = jnp.asarray([int(p[0]) for p in pixels])
+    cols = jnp.asarray([int(p[1]) for p in pixels])
+
+    def one_row(r, c):
+        if channel is None:
+            ct = jnp.zeros_like(y).at[r, c, :].set(1.0 / n_ch)
+        else:
+            ct = jnp.zeros_like(y).at[r, c, int(channel)].set(1.0)
+        return vjp_fn(ct)[0]
+
+    filters = jax.jit(jax.vmap(one_row))(rows, cols)
+
+    if channel is None:
+        outputs = y[rows, cols, :].mean(axis=-1)
+    else:
+        outputs = y[rows, cols, int(channel)]
+    inner = jnp.sum(filters * (x - center)[None], axis=(1, 2, 3))
+    weight_sum = jnp.sum(filters, axis=(1, 2, 3))
+    bias = outputs - center - inner
+
+    return FilterResult(
+        filters=np.asarray(filters),
+        outputs=np.asarray(outputs),
+        bias=np.asarray(bias),
+        weight_sum=np.asarray(weight_sum),
+        denoised=np.asarray(y),
+        pixels=list(pixels),
+    )
+
+
+def net_bias_map(
+        forward: Callable,
+        image: np.ndarray,
+        center: float = DEFAULT_CENTER) -> Tuple[np.ndarray, np.ndarray]:
+    """The paper's net-bias map for the whole image at once:
+    ``b(x) = f(x) − c − J(x)·(x−c)``, computed with a single ``jax.jvp``
+    in the direction of the centered input (for a positively homogeneous
+    map, ``J(x)·(x−c)`` equals ``f(x)−c`` exactly — Euler's identity —
+    so ``b ≡ 0`` for an ideal bias-free network).
+
+    Returns ``(denoised, bias_map)``, both [H, W, C] float32."""
+    x = jnp.asarray(image, jnp.float32)
+    try:
+        y, jdx = jax.jit(
+            lambda xx: jax.jvp(forward, (xx,), (xx - center,)))(x)
+    except TypeError:
+        # models whose layers carry a custom VJP (e.g. the flagship's
+        # FastLayerNorm, layers/norm.py) don't support forward-mode —
+        # compute J·v reverse-over-reverse instead: with
+        # L(u) = ⟨vjp(u), v⟩, ∇_u L = J·v (two backward passes)
+        logger.info("jvp unsupported (custom-VJP layer); using the "
+                    "double-vjp transpose for the bias map")
+
+        @jax.jit
+        def _rev_over_rev(xx):
+            yy, vjp_fn = jax.vjp(forward, xx)
+            v = xx - center
+
+            def inner(u):
+                return jnp.vdot(vjp_fn(u)[0], v)
+
+            return yy, jax.grad(inner)(jnp.zeros_like(yy))
+
+        y, jdx = _rev_over_rev(x)
+    bias = y - center - jdx
+    return np.asarray(y), np.asarray(bias)
+
+
+def scale_equivariance(
+        forward: Callable,
+        image: np.ndarray,
+        alphas: Sequence[float] = (0.25, 0.5, 0.75),
+        center: float = DEFAULT_CENTER) -> list:
+    """Measure ``f(c + a·d) − c ≈ a·(f(c + d) − c)`` for ``d = x − c``.
+
+    Contractive ``alphas ≤ 1`` by default so the scaled input stays
+    inside the value range (the normalizer clips outside [v0, v1], which
+    would confound the measurement). Returns one record per alpha with
+    the relative L1 error."""
+    x = jnp.asarray(image, jnp.float32)
+    d = x - center
+    base = forward(x) - center
+    records = []
+    for a in alphas:
+        a = float(a)
+        scaled = forward(center + a * d) - center
+        target = a * base
+        denom = float(jnp.abs(target).mean()) + 1e-8
+        err = float(jnp.abs(scaled - target).mean())
+        records.append({"alpha": a, "rel_error": err / denom,
+                        "abs_error": err})
+    return records
+
+
+def filter_mass_within(filters: np.ndarray,
+                       pixels: Sequence[Tuple[int, int]],
+                       radius: int) -> np.ndarray:
+    """Fraction of each filter's absolute mass inside a square window of
+    ``radius`` around its pixel — quantifies the localization the
+    receptive field implies (and the README figures show)."""
+    out = []
+    for a, (r, c) in zip(filters, pixels):
+        total = np.abs(a).sum()
+        h, w = a.shape[:2]
+        win = a[max(0, r - radius):min(h, r + radius + 1),
+                max(0, c - radius):min(w, c + radius + 1)]
+        out.append(float(np.abs(win).sum() / max(total, 1e-12)))
+    return np.asarray(out)
+
+
+def grid_pixels(shape: Tuple[int, int], n: int = 2,
+                margin: float = 0.25) -> list:
+    """An n×n grid of analysis pixels inset by ``margin`` from the
+    borders — the default probe set for the CLI."""
+    h, w = shape
+    rs = np.linspace(margin * h, (1 - margin) * h, n).round().astype(int)
+    cs = np.linspace(margin * w, (1 - margin) * w, n).round().astype(int)
+    return [(int(r), int(c)) for r in rs for c in cs]
+
+
+def filter_figure(image: np.ndarray, result: FilterResult,
+                  window: int = 33, mass_radius: int = 8):
+    """Render the README-style interpretability figure: the input with
+    the probed pixels marked, plus each pixel's adaptive-filter mask
+    (channel-summed, zoomed to ``window``², diverging colormap centered
+    at zero). Returns a matplotlib figure or None if mpl is missing."""
+    from .visualize import _mpl
+    plt = _mpl()
+    if plt is None:
+        return None
+    n = len(result.pixels)
+    fig, axes = plt.subplots(1, n + 1, figsize=(3 * (n + 1), 3.4))
+    axes = np.atleast_1d(axes)
+    img = np.clip(np.asarray(image), 0, 255).astype(np.uint8)
+    axes[0].imshow(img if img.shape[-1] != 1 else img[..., 0],
+                   cmap=None if img.shape[-1] != 1 else "gray")
+    for (r, c) in result.pixels:
+        axes[0].plot(c, r, "r+", markersize=10, markeredgewidth=2)
+    axes[0].set_title("input + probe pixels")
+    axes[0].axis("off")
+    half = window // 2
+    mass = filter_mass_within(result.filters, result.pixels, mass_radius)
+    h, w = image.shape[:2]
+    for i, ((r, c), a) in enumerate(zip(result.pixels, result.filters)):
+        mask = a.sum(axis=-1)
+        r0, c0 = max(0, r - half), max(0, c - half)
+        crop = mask[r0:min(h, r + half + 1), c0:min(w, c + half + 1)]
+        vmax = max(float(np.abs(crop).max()), 1e-12)
+        ax = axes[i + 1]
+        ax.imshow(crop, cmap="RdBu_r", vmin=-vmax, vmax=vmax)
+        ax.plot(c - c0, r - r0, "k+", markersize=8)
+        ax.set_title(f"({r},{c}) Σw={result.weight_sum[i]:.2f}\n"
+                     f"b={result.bias[i]:.2f} "
+                     f"mass(r≤{mass_radius})={mass[i]:.2f}", fontsize=8)
+        ax.axis("off")
+    fig.tight_layout()
+    return fig
+
+
+def bias_map_figure(image: np.ndarray, denoised: np.ndarray,
+                    bias: np.ndarray):
+    """Input / denoised / net-bias-map triptych."""
+    from .visualize import _mpl
+    plt = _mpl()
+    if plt is None:
+        return None
+    fig, axes = plt.subplots(1, 3, figsize=(10.5, 3.6))
+    for ax, (img, title) in zip(axes, [
+            (image, "input"), (denoised, "denoised"),
+            (bias, "net bias b(x)")]):
+        arr = np.asarray(img)
+        if title == "net bias b(x)":
+            mag = arr.mean(axis=-1)
+            vmax = max(float(np.abs(mag).max()), 1e-12)
+            im = ax.imshow(mag, cmap="RdBu_r", vmin=-vmax, vmax=vmax)
+            fig.colorbar(im, ax=ax, fraction=0.046)
+        else:
+            u8 = np.clip(arr, 0, 255).astype(np.uint8)
+            ax.imshow(u8 if u8.shape[-1] != 1 else u8[..., 0],
+                      cmap=None if u8.shape[-1] != 1 else "gray")
+        ax.set_title(title)
+        ax.axis("off")
+    fig.tight_layout()
+    return fig
+
+
+def analyze(denoiser, image: np.ndarray,
+            pixels: Optional[Sequence[Tuple[int, int]]] = None,
+            channel: Optional[int] = None,
+            alphas: Sequence[float] = (0.25, 0.5, 0.75),
+            mass_radius: int = 8,
+            center: float = DEFAULT_CENTER) -> dict:
+    """Run the full interpretability battery on one image.
+
+    Returns ``(report, FilterResult, denoised, bias_map)`` where
+    ``report`` is JSON-serializable (the CLI's engine; importable
+    directly)."""
+    forward = forward_from_denoiser(denoiser)
+    image = np.asarray(image, np.float32)
+    if pixels is None:
+        pixels = grid_pixels(image.shape[:2])
+
+    denoised, bias_map = net_bias_map(forward, image, center=center)
+    res = adaptive_filters(forward, image, pixels, channel=channel,
+                           center=center)
+    equiv = scale_equivariance(forward, image, alphas=alphas,
+                               center=center)
+    mass = filter_mass_within(res.filters, res.pixels, mass_radius)
+
+    resid = np.abs(denoised - center).mean()
+    report = {
+        "net_bias": {
+            "mean_abs": float(np.abs(bias_map).mean()),
+            "max_abs": float(np.abs(bias_map).max()),
+            # |b| relative to the centered output magnitude — the paper's
+            # "bias is negligible" check as a number
+            "rel_to_output": float(np.abs(bias_map).mean()
+                                   / max(resid, 1e-12)),
+        },
+        "scale_equivariance": equiv,
+        "filters": [
+            {"pixel": [int(r), int(c)],
+             "output": float(res.outputs[i]),
+             "bias": float(res.bias[i]),
+             "weight_sum": float(res.weight_sum[i]),
+             f"mass_within_{mass_radius}px": float(mass[i])}
+            for i, (r, c) in enumerate(res.pixels)
+        ],
+    }
+    return report, res, denoised, bias_map
+
+
+__all__ = [
+    "DEFAULT_CENTER", "FilterResult", "forward_from_denoiser",
+    "adaptive_filters", "net_bias_map", "scale_equivariance",
+    "filter_mass_within", "grid_pixels", "filter_figure",
+    "bias_map_figure", "analyze",
+]

@@ -170,14 +170,10 @@ class Denoiser:
             outs.append(band[:, sel] if axis == 1 else band[:, :, sel])
         return jnp.concatenate(outs, axis=axis)
 
-    def _e2e(self, x: jnp.ndarray) -> jnp.ndarray:
-        """The whole serving pipeline, traceable as one program (rank and
-        shapes are static per jit specialization)."""
-        squeeze = x.ndim == 3
-        if squeeze:
-            x = x[None]
-        x = x.astype(jnp.float32)
-
+    def _float_pipeline(self, x: jnp.ndarray) -> jnp.ndarray:
+        """[B, H, W, C] float32 → [B, H, W, C] float32 (finest scale):
+        the full pad/tile/TTA serving computation with no rounding or
+        casting epilogue. Differentiable end to end."""
         def run(img):
             if self._tile_rows > 0:
                 # tile the LONGER axis first (a TTA transpose member
@@ -198,13 +194,35 @@ class Denoiser:
             for k in range(8):
                 yk = _dihedral_inv(run(_dihedral(x, k)), k)
                 acc = yk if acc is None else acc + yk
-            y = acc / 8.0
-        else:
-            y = run(x)
+            return acc / 8.0
+        return run(x)
+
+    def _e2e(self, x: jnp.ndarray) -> jnp.ndarray:
+        """The whole serving pipeline, traceable as one program (rank and
+        shapes are static per jit specialization)."""
+        squeeze = x.ndim == 3
+        if squeeze:
+            x = x[None]
+        y = self._float_pipeline(x.astype(jnp.float32))
         if squeeze:
             y = y[0]
         y = jnp.clip(jnp.round(y), 0.0, 255.0)
         return y.astype(jnp.uint8) if self._cast else y
+
+    def float_forward(self, image) -> jnp.ndarray:
+        """Differentiable float forward: [H, W, C] or [B, H, W, C] float
+        in [0, 255] → same-rank float32 denoised image (finest scale),
+        running the full pad/tile/TTA pipeline but NO clip/round/uint8
+        epilogue. The interpretability tools (analysis.py) differentiate
+        through this to extract exact adaptive filters and net-bias maps
+        — the reference's "weighted mask per pixel" interpretation
+        (reference README.md:24-40) made computable."""
+        x = jnp.asarray(image, jnp.float32)
+        squeeze = x.ndim == 3
+        if squeeze:
+            x = x[None]
+        y = self._float_pipeline(x)
+        return y[0] if squeeze else y
 
     def __call__(self, image) -> np.ndarray:
         """image: uint8/float [H, W, C] or [B, H, W, C]; returns same rank.

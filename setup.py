@@ -33,6 +33,7 @@ setup(
             "bid-tpu-train=blind_image_denoising_tpu.train:main",
             "bid-tpu-export=blind_image_denoising_tpu.export:main",
             "bid-tpu-build=blind_image_denoising_tpu.build:main",
+            "bid-tpu-analyze=blind_image_denoising_tpu.analyze:main",
         ],
     },
 )
