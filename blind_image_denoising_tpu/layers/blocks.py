@@ -59,6 +59,7 @@ class ResnetBlocks(nn.Module):
     third_conv_params: Optional[Dict] = None
     use_bn: bool = False                 # BN after 2nd/3rd convs
     bn_center: bool = False
+    bn_bias_free: bool = False           # strict bias-free BN variant
     bn_first_conv: bool = False          # BN also after 1st conv
     ln_after_first_conv: bool = False    # convnext mode
     use_gate: bool = False
@@ -106,7 +107,9 @@ class ResnetBlocks(nn.Module):
                 x = conv_block_from_params(
                     self.first_conv_params, f"block_{i}_conv_1",
                     use_bn=self.use_bn and self.bn_first_conv,
-                    bn_center=self.bn_center, dtype=self.dtype)(x, train=train)
+                    bn_center=self.bn_center,
+                    bn_bias_free=self.bn_bias_free,
+                    dtype=self.dtype)(x, train=train)
                 x_first = x
 
             if self.ln_after_first_conv:
@@ -122,6 +125,7 @@ class ResnetBlocks(nn.Module):
                 x = conv_block_from_params(
                     self.second_conv_params, f"block_{i}_conv_2",
                     use_bn=self.use_bn, bn_center=self.bn_center,
+                    bn_bias_free=self.bn_bias_free,
                     dtype=self.dtype)(x, train=train)
                 gate_signal = x
 
@@ -133,6 +137,7 @@ class ResnetBlocks(nn.Module):
                 x = conv_block_from_params(
                     self.third_conv_params, f"block_{i}_conv_3",
                     use_bn=self.use_bn, bn_center=self.bn_center,
+                    bn_bias_free=self.bn_bias_free,
                     dtype=self.dtype)(x, train=train)
 
             if self.use_channelwise:

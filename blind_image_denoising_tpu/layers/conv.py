@@ -34,7 +34,7 @@ from ..constants import (
 )
 from ..ops import regularizers as reg_ops
 from ..ops import quant as quant_ops
-from .norm import FastLayerNorm
+from .norm import BiasFreeBatchNorm, FastLayerNorm
 from .activations import Activation
 
 RegularizerSpec = Union[None, str, dict, list]
@@ -121,6 +121,7 @@ class ConvBlock(nn.Module):
     use_bn: bool = False
     use_ln: bool = False
     bn_center: bool = False       # BN/LN beta (center) — off for bias-free
+    bn_bias_free: bool = False    # strict bias-free BN (no mean subtraction)
     dropout_rate: float = 0.0
     spatial_dropout_rate: float = 0.0
     dtype: Any = None             # compute dtype (bfloat16 for TPU MXU)
@@ -190,17 +191,26 @@ class ConvBlock(nn.Module):
             y = y + self._bias_param(out_features).astype(compute_dtype)
 
         if self.use_bn:
-            y = nn.BatchNorm(
-                use_running_average=not train,
-                momentum=DEFAULT_BN_MOMENTUM,
-                epsilon=DEFAULT_BN_EPSILON,
-                use_bias=self.bn_center,
-                use_scale=True,
-                # resolved compute dtype, not self.dtype: flax BN with
-                # dtype=None promotes bf16 inputs to f32 via its f32 params,
-                # silently doubling HBM bytes downstream
-                dtype=compute_dtype,
-                name="bn")(y)
+            if self.bn_bias_free:
+                # strict bias-free BN: no mean subtraction (layers/norm.py)
+                y = BiasFreeBatchNorm(
+                    use_running_average=not train,
+                    momentum=DEFAULT_BN_MOMENTUM,
+                    epsilon=DEFAULT_BN_EPSILON,
+                    dtype=compute_dtype,
+                    name="bn")(y)
+            else:
+                y = nn.BatchNorm(
+                    use_running_average=not train,
+                    momentum=DEFAULT_BN_MOMENTUM,
+                    epsilon=DEFAULT_BN_EPSILON,
+                    use_bias=self.bn_center,
+                    use_scale=True,
+                    # resolved compute dtype, not self.dtype: flax BN with
+                    # dtype=None promotes bf16 inputs to f32 via its f32
+                    # params, silently doubling HBM bytes downstream
+                    dtype=compute_dtype,
+                    name="bn")(y)
         if self.use_ln:
             y = FastLayerNorm(
                 epsilon=DEFAULT_LN_EPSILON,
@@ -226,7 +236,8 @@ class ConvBlock(nn.Module):
 
 def conv_block_from_params(params: dict, name: str,
                            use_bn: bool = False, use_ln: bool = False,
-                           bn_center: bool = False, dtype: Any = None,
+                           bn_center: bool = False,
+                           bn_bias_free: bool = False, dtype: Any = None,
                            **overrides) -> "ConvBlock":
     """Translate a reference-schema conv-params dict (kernel_size / filters /
     depth_multiplier / groups / strides / padding / use_bias / activation /
@@ -249,6 +260,7 @@ def conv_block_from_params(params: dict, name: str,
         kernel_regularizer=p.get("kernel_regularizer",
                                  p.get("depthwise_regularizer", None)),
         use_bn=use_bn, use_ln=use_ln, bn_center=bn_center,
+        bn_bias_free=bn_bias_free,
         dropout_rate=p.get("dropout_rate", 0.0),
         spatial_dropout_rate=p.get("spatial_dropout_rate", 0.0),
         dtype=dtype, name=name)

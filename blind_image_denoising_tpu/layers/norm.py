@@ -97,3 +97,70 @@ class FastLayerNorm(nn.Module):
         return _fast_ln(x, scale, bias, float(self.epsilon), cdt.name,
                         self.use_scale, self.use_bias,
                         jnp.dtype(x.dtype).name)
+
+
+def parse_bn_flag(value):
+    """Normalize a config ``batchnorm`` / ``use_bn`` value into
+    ``(use_bn, bias_free)``.
+
+    The reference schema uses booleans; this framework additionally
+    accepts the string ``"bias_free"`` to select
+    :class:`BiasFreeBatchNorm` (no mean subtraction — the CVPR-2020
+    paper's actual recipe; docs/INTERPRETABILITY.md measures why the
+    boolean mode is only approximately bias-free)."""
+    if isinstance(value, str):
+        key = value.strip().lower().replace("-", "_")
+        if key in ("bias_free", "biasfree"):
+            return True, True
+        raise ValueError(
+            f"unknown batchnorm mode [{value}] — use true/false or "
+            f"'bias_free'")
+    return bool(value), False
+
+
+class BiasFreeBatchNorm(nn.Module):
+    """Strictly bias-free BatchNorm: normalize by the running *second
+    moment* only — ``y = x · rsqrt(E[x²] + ε) · γ`` — no mean
+    subtraction, no β.
+
+    The reference's bias-free recipe (``use_bias=False`` convs +
+    ``center=False`` BN, reference model.py:268-276) removes β but
+    still subtracts the running MEAN at inference — an additive
+    constant that breaks exact homogeneity (measured on the shipped
+    artifacts: docs/INTERPRETABILITY.md). The CVPR-2020 paper
+    (arXiv:1906.05478 §3) removes every additive term. With this
+    variant the inference-time map is an exact per-channel linear
+    scale, so a ReLU network stays positively homogeneous end to end
+    and the net-bias map is identically zero.
+
+    Selected via ``batchnorm: "bias_free"`` in resnet/convnext/unet
+    configs. State: ``batch_stats/mean_sq`` (float32);
+    params: ``scale``. Under a batch-sharded jit the batch second
+    moment reduces over the GLOBAL batch (GSPMD inserts the
+    collective), matching ``nn.BatchNorm`` semantics.
+    """
+    use_running_average: bool = True
+    momentum: float = 0.995   # DEFAULT_BN_MOMENTUM (constants.py)
+    epsilon: float = 1e-3     # DEFAULT_BN_EPSILON — call sites pass both
+    use_scale: bool = True
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cdt = jnp.dtype(self.dtype or x.dtype)
+        features = x.shape[-1]
+        ra = self.variable("batch_stats", "mean_sq",
+                           lambda: jnp.ones((features,), jnp.float32))
+        if self.use_running_average:
+            mean_sq = ra.value
+        else:
+            mean_sq = jnp.mean(jnp.square(x.astype(jnp.float32)),
+                               axis=tuple(range(x.ndim - 1)))
+            if not self.is_initializing():
+                ra.value = (self.momentum * ra.value
+                            + (1.0 - self.momentum) * mean_sq)
+        scale = (self.param("scale", nn.initializers.ones, (features,),
+                            jnp.float32) if self.use_scale
+                 else jnp.ones((features,), jnp.float32))
+        mult = (scale * jax.lax.rsqrt(mean_sq + self.epsilon)).astype(cdt)
+        return x.astype(cdt) * mult

@@ -22,6 +22,7 @@ import flax.linen as nn
 
 from ..config import input_shape_fixer
 from ..layers.conv import ConvBlock
+from ..layers.norm import parse_bn_flag
 from ..logger import logger
 from ..ops.normalize import normalize, denormalize
 from . import resnet as _resnet_mod
@@ -112,15 +113,18 @@ class DenoiserHead(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         cfg = dict(self.config)
         use_bias = cfg.get("use_bias", False)
+        head_use_bn, head_bn_bias_free = parse_bn_flag(
+            cfg.get("use_bn", False))
         x = ConvBlock(
             features=cfg.get("filters", 32), kernel_size=1,
             use_bias=use_bias,
             activation=cfg.get("activation", "linear"),
             kernel_regularizer=cfg.get("kernel_regularizer", "l2"),
             kernel_initializer=cfg.get("kernel_initializer", "glorot_normal"),
-            use_bn=cfg.get("use_bn", False),
+            use_bn=head_use_bn,
             use_ln=cfg.get("use_ln", False),
             bn_center=use_bias,
+            bn_bias_free=head_bn_bias_free,
             dtype=self.dtype, name="conv_0")(x, train=train)
         x = ConvBlock(
             features=cfg.get("output_channels", 3), kernel_size=1,

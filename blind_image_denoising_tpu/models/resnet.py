@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from ..layers.blocks import ResnetBlocks
 from ..layers.conv import conv_block_from_params
 from ..layers.multipliers import ChannelwiseMultiplier, Multiplier
+from ..layers.norm import BiasFreeBatchNorm, parse_bn_flag
 from ..constants import (
     DEFAULT_BN_EPSILON, DEFAULT_BN_MOMENTUM,
     DEFAULT_CHANNELWISE_MULTIPLIER_L1, DEFAULT_MULTIPLIER_L1,
@@ -92,7 +93,8 @@ class _ResidualSkeleton(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> List[jnp.ndarray]:
         cfg = dict(self.config)
         use_bias = cfg.get("use_bias", False)
-        use_bn = cfg.get("use_bn", cfg.get("batchnorm", True))
+        use_bn, bn_bias_free = parse_bn_flag(
+            cfg.get("use_bn", cfg.get("batchnorm", True)))
         kernel_regularizer = cfg.get("kernel_regularizer", "l1")
         kernel_initializer = cfg.get("kernel_initializer", "glorot_normal")
 
@@ -109,6 +111,11 @@ class _ResidualSkeleton(nn.Module):
         conv_params = _block_conv_params(cfg)
 
         def bn(name):
+            if bn_bias_free:
+                return BiasFreeBatchNorm(
+                    use_running_average=not train,
+                    momentum=DEFAULT_BN_MOMENTUM, epsilon=DEFAULT_BN_EPSILON,
+                    dtype=self.dtype, name=name)
             return nn.BatchNorm(
                 use_running_average=not train,
                 momentum=DEFAULT_BN_MOMENTUM, epsilon=DEFAULT_BN_EPSILON,
@@ -131,6 +138,7 @@ class _ResidualSkeleton(nn.Module):
             third_conv_params=conv_params[2],
             use_bn=use_bn and not self.convnext_mode,
             bn_center=use_bias,
+            bn_bias_free=bn_bias_free,
             ln_after_first_conv=self.convnext_mode,
             use_gate=cfg.get("add_gates", False),
             dropout_rate=max(0.0, dropout_rate) if dropout_rate != -1 else 0.0,

@@ -23,6 +23,7 @@ from ..constants import (
 from ..layers.blocks import ResnetBlocks
 from ..layers.conv import conv_block_from_params
 from ..layers.misc import SparseBlock
+from ..layers.norm import BiasFreeBatchNorm, parse_bn_flag
 from ..layers.multipliers import ChannelwiseMultiplier, Multiplier
 from ..ops.resize import max_pool_same, upsample_2x_nearest
 from .resnet import _block_conv_params
@@ -36,7 +37,8 @@ class UnetBackbone(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> List[jnp.ndarray]:
         cfg = dict(self.config)
         use_bias = cfg.get("use_bias", False)
-        use_bn = cfg.get("use_bn", cfg.get("batchnorm", True))
+        use_bn, bn_bias_free = parse_bn_flag(
+            cfg.get("use_bn", cfg.get("batchnorm", True)))
         no_levels = cfg.get("no_levels", 3)
         no_layers = cfg.get("no_layers", 1)
         kernel_regularizer = cfg.get("kernel_regularizer", "l1")
@@ -63,6 +65,7 @@ class UnetBackbone(nn.Module):
                 third_conv_params=conv_params[2],
                 use_bn=use_bn,
                 bn_center=use_bias,
+                bn_bias_free=bn_bias_free,
                 use_gate=cfg.get("add_gates", False),
                 dropout_rate=max(0.0, dropout_rate) if dropout_rate != -1 else 0.0,
                 use_multiplier=cfg.get("add_learnable_multiplier", False),
@@ -73,6 +76,11 @@ class UnetBackbone(nn.Module):
                 dtype=self.dtype, name=name)
 
         def bn(name):
+            if bn_bias_free:
+                return BiasFreeBatchNorm(
+                    use_running_average=not train,
+                    momentum=DEFAULT_BN_MOMENTUM, epsilon=DEFAULT_BN_EPSILON,
+                    dtype=self.dtype, name=name)
             return nn.BatchNorm(
                 use_running_average=not train,
                 momentum=DEFAULT_BN_MOMENTUM, epsilon=DEFAULT_BN_EPSILON,

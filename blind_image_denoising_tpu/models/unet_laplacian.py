@@ -89,6 +89,11 @@ class UnetLaplacianBackbone(nn.Module):
         upsample_type = cfg.get("upsample_type", "bilinear")
         downsample_type = cfg.get("downsample_type", "strides")
         use_bn = cfg.get("use_bn", False)
+        if isinstance(use_bn, str):
+            raise ValueError(
+                "unet_laplacian does not support string batchnorm modes "
+                "('bias_free' is resnet/convnext/unet-family only; this "
+                "family is LayerNorm-based)")
         use_ln = cfg.get("use_ln", True)
         use_bias = cfg.get("use_bias", False)
         use_gamma = cfg.get("use_gamma", True)
