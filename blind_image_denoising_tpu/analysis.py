@@ -101,6 +101,12 @@ def adaptive_filters(
     x = jnp.asarray(image, jnp.float32)
     if x.ndim != 3:
         raise ValueError(f"image must be [H, W, C], got {x.shape}")
+    h, w = x.shape[:2]
+    for (r, c) in pixels:
+        if not (0 <= int(r) < h and 0 <= int(c) < w):
+            # JAX gather/scatter clamp/drop out-of-bounds indices
+            # silently — that would return a wrong (all-zero) filter
+            raise ValueError(f"pixel ({r}, {c}) outside image {h}x{w}")
     y, vjp_fn = jax.vjp(forward, x)
     n_ch = y.shape[-1]
 

@@ -200,3 +200,13 @@ def test_analyze_cli_smoke(tmp_path, capsys):
     figs = tmp_path / "figs"
     assert (figs / "filters.png").is_file()
     assert (figs / "bias_map.png").is_file()
+
+
+def test_adaptive_filters_rejects_out_of_bounds_pixel():
+    """JAX clamps/drops OOB gather/scatter indices silently — the tool
+    must raise instead of returning a wrong all-zero filter."""
+    den = _tiny_denoiser()
+    fwd = analysis.forward_from_denoiser(den)
+    x = _rng_image(shape=(16, 16, 3), seed=17)
+    with pytest.raises(ValueError, match="outside image"):
+        analysis.adaptive_filters(fwd, x, [(16, 3)])
