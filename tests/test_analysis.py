@@ -210,3 +210,19 @@ def test_adaptive_filters_rejects_out_of_bounds_pixel():
     x = _rng_image(shape=(16, 16, 3), seed=17)
     with pytest.raises(ValueError, match="outside image"):
         analysis.adaptive_filters(fwd, x, [(16, 3)])
+
+
+def test_adaptive_filters_through_tta_ensemble():
+    """float_forward covers the TTA pipeline too: filter rows extracted
+    through the 8-way dihedral ensemble still match jvp directional
+    derivatives (the ensemble is differentiable end to end)."""
+    hydra, variables = tiny_resnet_hydra()
+    den = Denoiser(hydra, variables, pad_multiple=8, tta=True)
+    fwd = analysis.forward_from_denoiser(den)
+    x = _rng_image(shape=(16, 16, 3), seed=19)
+    res = analysis.adaptive_filters(fwd, x, [(8, 8)], channel=2)
+    v = np.random.default_rng(20).normal(size=x.shape).astype(np.float32)
+    _, jv = jax.jvp(fwd, (jnp.asarray(x),), (jnp.asarray(v),))
+    np.testing.assert_allclose(
+        float((res.filters[0] * v).sum()), np.asarray(jv)[8, 8, 2],
+        rtol=1e-3, atol=1e-4)
