@@ -8,9 +8,10 @@ noise corruption run fused on-device inside the jitted train step
 (training/train_step.py), keyed per sample — preserving the reference's
 independent-noise-per-sample property (dataset.py:161-238, README claim #8).
 
-Parsed-but-unused reference options (random_rotate / random_blur /
-use_jpeg_noise / quantization / inpaint_drop_rate — dataset.py:83-105) are
-accepted for config compatibility and ignored the same way.
+The five reference options that are parsed-but-unused THERE (random_rotate /
+random_blur / use_jpeg_noise / quantization / inpaint_drop_rate —
+dataset.py:83-105) are REAL here: on-device degradations fused into the
+jitted train step (ops/degradations.py, wired in training/train_loop.py).
 """
 
 import queue

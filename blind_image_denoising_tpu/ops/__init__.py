@@ -32,6 +32,17 @@ from .pyramid import (
 from .losses import mae_diff, mae, rmse_diff, rmse, gar_loss, improvement, psnr
 from .ssim import ssim, ssim_loss
 from .noise import truncated_normal, corrupt_batch, corrupt_batch_fixed_std, random_flips
+from .degradations import (
+    rotate_batch,
+    random_rotate_batch,
+    random_blur,
+    jpeg_artifacts,
+    random_jpeg,
+    quantize_batch,
+    random_quantize,
+    inpaint_dropout,
+    degrade_batch,
+)
 from .pallas_noise import corrupt_batch_pallas
 from .pallas_pyramid import (
     laplacian_band_split_pallas,

@@ -256,6 +256,15 @@ def train_loop(
             noise_sampling=dataset_config.get("noise_sampling", "uniform"),
             random_left_right=dataset_config.get("random_left_right", True),
             random_up_down=dataset_config.get("random_up_down", True),
+            # the reference parses-but-ignores these five
+            # (dataset.py:83-105); here they are real on-device
+            # degradations (ops/degradations.py)
+            random_rotate=float(dataset_config.get("random_rotate", 0.0)),
+            use_random_blur=bool(dataset_config.get("random_blur", False)),
+            use_jpeg_noise=bool(dataset_config.get("use_jpeg_noise", False)),
+            quantization=int(dataset_config.get("quantization", -1)),
+            inpaint_drop_rate=float(
+                dataset_config.get("inpaint_drop_rate", 0.0)),
             round_values=dataset_config.get("round_values", True),
             grad_accum=grad_accum,
             remat=train_config.get("remat", False),

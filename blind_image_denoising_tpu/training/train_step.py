@@ -42,6 +42,11 @@ def build_train_step(
         noise_sampling: str = "uniform",
         random_left_right: bool = True,
         random_up_down: bool = True,
+        random_rotate: float = 0.0,
+        use_random_blur: bool = False,
+        use_jpeg_noise: bool = False,
+        quantization: int = -1,
+        inpaint_drop_rate: float = 0.0,
         round_values: bool = True,
         grad_accum: int = 1,
         remat: bool = False,
@@ -80,11 +85,22 @@ def build_train_step(
     """
     denoiser_loss = loss_fns["denoiser"]
     model_loss = loss_fns["model"]
+    # extended degradations (ops/degradations.py — the reference's
+    # declared-but-dead dataset options made real)
+    extended_degradations = bool(
+        use_random_blur or use_jpeg_noise
+        or (quantization and quantization > 1)
+        or (inpaint_drop_rate and inpaint_drop_rate > 0.0))
     if use_pallas_noise and noise_sampling != "uniform":
         raise ValueError(
             "tpu.pallas_noise only implements the reference's uniform std "
             f"draw; unset it to use dataset.noise_sampling="
             f"{noise_sampling!r}")
+    if use_pallas_noise and extended_degradations:
+        raise ValueError(
+            "tpu.pallas_noise fuses only the noise corruption; unset it to "
+            "use random_blur / use_jpeg_noise / quantization / "
+            "inpaint_drop_rate")
 
     def forward_loss(params, batch_stats, noisy, gt_scales, depth_weights,
                      dropout_rng, teacher_out=None):
@@ -138,13 +154,30 @@ def build_train_step(
 
     def prepare_micro_batch(rng, clean):
         """On-device augmentation + corruption for one micro-batch."""
-        k_flip, k_noise = jax.random.split(rng)
+        k_flip, k_rot, k_noise = jax.random.split(rng, 3)
         clean = random_flips(k_flip, clean,
                              left_right=random_left_right,
                              up_down=random_up_down)
+        if random_rotate and random_rotate > 0.0:
+            # geometric augmentation of the CLEAN batch (the GT pyramid is
+            # built from it below) — reference dataset.py:87-89 semantics
+            from ..ops.degradations import random_rotate_batch
+            clean = random_rotate_batch(k_rot, clean, random_rotate)
         if round_values:
             clean = jnp.round(clean)
-        if use_pallas_noise:
+        if extended_degradations:
+            from ..ops.degradations import degrade_batch
+            noisy = degrade_batch(
+                k_noise, clean,
+                additive_noise=additive_noise,
+                multiplicative_noise=multiplicative_noise,
+                noise_sampling=noise_sampling,
+                round_values=round_values,
+                use_random_blur=use_random_blur,
+                use_jpeg_noise=use_jpeg_noise,
+                quantization=quantization,
+                inpaint_drop_rate=inpaint_drop_rate)
+        elif use_pallas_noise:
             # fused single-pass TPU kernel (ops/pallas_noise.py); fold the
             # key into an int32 seed
             from ..ops.pallas_noise import corrupt_batch_pallas
