@@ -7,8 +7,18 @@ MAE(denoised) per std plus PSNR/SSIM. Works with any denoiser callable
 (a native exported artifact, the TFLite pretrained graph, or a live
 TrainState via training.train_step.build_eval_step).
 
+Beyond the reference protocol, ``degradation_sweep`` measures blind
+RESTORATION robustness on deterministic corruption chains built from the
+on-device degradation suite (ops/degradations.py — the reference's five
+parsed-but-dead dataset options made real): JPEG at a fixed quality,
+Gaussian blur at a fixed sigma, bit-depth posterization, inpainting
+holes, and compositions like ``blur:1.5+noise:25`` applied left to
+right. The reference has no analog (its evaluation is Gaussian-only,
+reference README.md:66-92).
+
 CLI: ``python -m blind_image_denoising_tpu.evaluate
-        --model <registry-name-or-artifact-dir> [--images DIR]``
+        --model <registry-name-or-artifact-dir> [--images DIR]
+        [--degradations blur:1.5+noise:25,jpeg:50,...]``
 prints a JSON report.
 """
 
@@ -72,6 +82,105 @@ def noise_sweep(
     return records
 
 
+# steps accepted by parse_degradation_spec: name -> value meaning
+DEGRADATION_STEPS = {
+    "noise": "additive truncated-normal std (gray levels)",
+    "jpeg": "JPEG quality in [1, 100] (Annex-K DCT quantization)",
+    "blur": "Gaussian blur sigma (pixels)",
+    "posterize": "bit-depth step (round to multiples of q)",
+    "holes": "per-pixel dropout rate in [0, 1)",
+}
+
+
+def parse_degradation_spec(spec: str) -> List:
+    """``"blur:1.5+noise:25"`` → ``[("blur", 1.5), ("noise", 25.0)]``.
+    Steps apply left to right; unknown names or bad values raise."""
+    steps = []
+    for part in spec.split("+"):
+        part = part.strip()
+        if not part:
+            raise ValueError(f"empty step in degradation spec [{spec}]")
+        name, sep, value = part.partition(":")
+        name = name.strip().lower()
+        if name not in DEGRADATION_STEPS:
+            raise ValueError(
+                f"unknown degradation [{name}] in [{spec}]; known: "
+                f"{sorted(DEGRADATION_STEPS)}")
+        if not sep:
+            raise ValueError(f"degradation [{part}] needs a :value "
+                             f"({DEGRADATION_STEPS[name]})")
+        steps.append((name, float(value)))
+    return steps
+
+
+def apply_degradations(images: np.ndarray, spec: str,
+                       seed: int = 0) -> np.ndarray:
+    """Corrupt [N,H,W,C] float images in [0,255] with the deterministic
+    chain ``spec`` (see ``parse_degradation_spec``). Stochastic steps
+    (noise, holes) derive their key from ``seed`` and the step index, so
+    a given (spec, seed) is reproducible. Returns float32 in [0,255],
+    rounded to integers like a stored image."""
+    import jax.numpy as jnp
+    import jax.random as jrandom
+    from .ops.noise import corrupt_batch_fixed_std
+    from .ops.degradations import (
+        inpaint_dropout, jpeg_artifacts, quantize_batch,
+        separable_blur_batch)
+
+    x = jnp.asarray(images, jnp.float32)
+    n = x.shape[0]
+    for i, (name, value) in enumerate(parse_degradation_spec(spec)):
+        key = jrandom.fold_in(jrandom.PRNGKey(seed), i)
+        if name == "noise":
+            x = corrupt_batch_fixed_std(key, x, std=value,
+                                        round_values=False)
+        elif name == "jpeg":
+            x = jpeg_artifacts(x, jnp.full((n,), value, jnp.float32))
+        elif name == "blur":
+            x = separable_blur_batch(x, jnp.full((n,), value, jnp.float32))
+        elif name == "posterize":
+            x = quantize_batch(x, value)
+        elif name == "holes":
+            x = inpaint_dropout(key, x, value)
+    return np.clip(np.round(np.asarray(x)), 0, 255).astype(np.float32)
+
+
+def degradation_sweep(
+        denoiser: Callable[[np.ndarray], np.ndarray],
+        images: np.ndarray,
+        specs: Sequence[str],
+        seed: int = 0) -> List[Dict]:
+    """Restoration counterpart of ``noise_sweep``: one record per
+    corruption chain, with MAE/PSNR/SSIM of the corrupted and restored
+    images vs clean."""
+    import jax.numpy as jnp
+    from .ops.losses import psnr
+    from .ops.ssim import ssim
+
+    records = []
+    clean_j = jnp.asarray(images)
+    for spec in specs:
+        corrupt = apply_degradations(images, spec, seed=seed)
+        den = np.asarray(
+            denoiser(corrupt.astype(np.uint8))).astype(np.float32)
+        rec = {
+            "degradation": spec,
+            "mae_corrupt": float(np.abs(corrupt - images).mean()),
+            "mae_restored": float(np.abs(den - images).mean()),
+            "psnr_corrupt": float(psnr(clean_j, jnp.asarray(corrupt))),
+            "psnr_restored": float(psnr(clean_j, jnp.asarray(den))),
+            "ssim_corrupt": float(ssim(clean_j,
+                                       jnp.asarray(corrupt)).mean()),
+            "ssim_restored": float(ssim(clean_j, jnp.asarray(den)).mean()),
+        }
+        records.append(rec)
+        logger.info(
+            f"[{spec}]: mae {rec['mae_corrupt']:.2f}->"
+            f"{rec['mae_restored']:.2f} psnr {rec['psnr_corrupt']:.1f}->"
+            f"{rec['psnr_restored']:.1f}")
+    return records
+
+
 def load_eval_images(directory: Optional[str], size: int = 256,
                      limit: int = 4) -> np.ndarray:
     from .data.file_operations import load_image
@@ -103,6 +212,12 @@ def main(argv=None) -> int:
                         help="max images to evaluate (default 4)")
     parser.add_argument("--stds", default=None, type=str,
                         help="comma-separated noise stds")
+    parser.add_argument("--degradations", default=None, type=str,
+                        help="comma-separated corruption chains (e.g. "
+                             "'blur:1.5+noise:25,jpeg:50,holes:0.1'); "
+                             "runs the restoration sweep instead of the "
+                             "Gaussian noise sweep. Steps: "
+                             + ", ".join(sorted(DEGRADATION_STEPS)))
     parser.add_argument("--quant", action="store_true",
                         help="evaluate the artifact's int8 path "
                              "(needs quant.msgpack; docs/QUANTIZATION.md)")
@@ -121,9 +236,16 @@ def main(argv=None) -> int:
     images = load_eval_images(args.images, size=args.size,
                               limit=args.limit)
     logger.info(f"evaluating {len(images)} images at {args.size}^2")
-    stds = ([float(s) for s in args.stds.split(",")] if args.stds
-            else DEFAULT_STDS)
-    records = noise_sweep(denoiser, images, stds=stds)
+    if args.degradations:
+        specs = [s for s in (p.strip()
+                             for p in args.degradations.split(",")) if s]
+        for spec in specs:
+            parse_degradation_spec(spec)  # fail fast before compiles
+        records = degradation_sweep(denoiser, images, specs)
+    else:
+        stds = ([float(s) for s in args.stds.split(",")] if args.stds
+                else DEFAULT_STDS)
+        records = noise_sweep(denoiser, images, stds=stds)
     print(json.dumps(records, indent=1))
     return 0
 

@@ -287,9 +287,13 @@ def load_exported_model(directory: Union[str, Path],
 
     results = model_builder(config["model"])
 
-    # build a template then overwrite with saved bytes
+    # build a template then overwrite with saved bytes; artifacts written
+    # by save_params_artifact may carry no dataset section — the backbone's
+    # declared input_shape (often ["?", "?", C]) is an equivalent template
+    # source since param shapes are spatial-size-independent
     rng = jax.random.PRNGKey(0)
-    shape = config["dataset"]["input_shape"]
+    shape = (config.get("dataset", {}).get("input_shape")
+             or config["model"]["backbone"]["input_shape"])
     sample = jnp.zeros((1, _dim(shape[0]), _dim(shape[1]),
                         int(shape[2])), jnp.float32)
     template = results.hydra.init({"params": rng}, sample, train=False)

@@ -1,8 +1,11 @@
 """Evaluation harness tests."""
 
 import numpy as np
+import pytest
 
-from blind_image_denoising_tpu.evaluate import noise_sweep, load_eval_images
+from blind_image_denoising_tpu.evaluate import (
+    apply_degradations, degradation_sweep, load_eval_images, noise_sweep,
+    parse_degradation_spec)
 from blind_image_denoising_tpu.images import load_evaluation_images
 
 
@@ -38,6 +41,80 @@ def test_packaged_eval_images_deterministic():
     np.testing.assert_array_equal(a, b)
     assert a.shape == (4, 64, 64, 3)
     assert a.min() >= 0 and a.max() <= 255
+
+
+def test_parse_degradation_spec():
+    assert parse_degradation_spec("blur:1.5+noise:25") == [
+        ("blur", 1.5), ("noise", 25.0)]
+    assert parse_degradation_spec("JPEG:50") == [("jpeg", 50.0)]
+    with pytest.raises(ValueError, match="unknown degradation"):
+        parse_degradation_spec("sharpen:2")
+    with pytest.raises(ValueError, match="needs a :value"):
+        parse_degradation_spec("blur")
+    with pytest.raises(ValueError, match="empty step"):
+        parse_degradation_spec("blur:1++noise:2")
+
+
+def test_apply_degradations_deterministic_and_ordered():
+    images = load_evaluation_images(64).astype(np.float32)
+
+    a = apply_degradations(images, "blur:1.5+noise:25", seed=3)
+    b = apply_degradations(images, "blur:1.5+noise:25", seed=3)
+    np.testing.assert_array_equal(a, b)  # (spec, seed) reproducible
+    c = apply_degradations(images, "blur:1.5+noise:25", seed=4)
+    assert np.abs(a - c).mean() > 1.0  # the noise step is keyed on seed
+
+    # chains apply left to right: noise-then-blur smooths the noise,
+    # blur-then-noise leaves it intact — distinguishable by total error
+    nb = apply_degradations(images, "noise:25+blur:1.5", seed=0)
+    bn = apply_degradations(images, "blur:1.5+noise:25", seed=0)
+    assert np.abs(bn - images).mean() > np.abs(nb - images).mean() + 1.0
+
+    # each step degrades: MAE > 0 and within [0, 255]
+    for spec in ("jpeg:40", "posterize:32", "holes:0.1"):
+        out = apply_degradations(images, spec, seed=0)
+        assert np.abs(out - images).mean() > 0.5, spec
+        assert out.min() >= 0 and out.max() <= 255
+
+
+def test_degradation_sweep_identity_and_perfect():
+    images = load_evaluation_images(64).astype(np.float32)
+    clean_uint8 = np.clip(np.round(images), 0, 255).astype(np.uint8)
+
+    ident = degradation_sweep(lambda x: x, images,
+                              ["jpeg:50", "blur:1.0+noise:20"])
+    for r in ident:
+        assert abs(r["mae_restored"] - r["mae_corrupt"]) < 1e-3
+
+    perfect = degradation_sweep(lambda x: clean_uint8, images, ["jpeg:50"])
+    r = perfect[0]
+    assert r["mae_restored"] < r["mae_corrupt"]
+    assert r["psnr_restored"] > r["psnr_corrupt"]
+    assert r["ssim_restored"] > r["ssim_corrupt"]
+
+
+def test_evaluate_cli_degradations(tmp_path, capsys):
+    """The --degradations flag drives the restoration sweep end-to-end
+    through load_model on a tiny exported artifact."""
+    import copy
+    import json
+    from conftest import TINY_RESNET_MODEL, tiny_resnet_hydra
+    from blind_image_denoising_tpu.evaluate import main as eval_main
+    from blind_image_denoising_tpu.inference.export import (
+        save_params_artifact)
+
+    _, variables = tiny_resnet_hydra()
+    artifact = save_params_artifact(
+        variables["params"], {"model": copy.deepcopy(TINY_RESNET_MODEL)},
+        tmp_path / "artifact")
+    rc = eval_main(["--model", str(artifact), "--size", "32",
+                    "--limit", "2", "--degradations",
+                    "posterize:64,holes:0.2+noise:10"])
+    assert rc == 0
+    records = json.loads(capsys.readouterr().out)
+    assert [r["degradation"] for r in records] == [
+        "posterize:64", "holes:0.2+noise:10"]
+    assert all(r["mae_corrupt"] > 0 for r in records)
 
 
 def test_load_eval_images_directory(tmp_path):
