@@ -1,0 +1,165 @@
+"""Blind-RESTORATION flagship: the degradation suite trained end-to-end.
+
+The reference declares five dataset degradations it never applies
+(reference dataset.py:83-105); this repo made them real on-device ops
+fused into the train step (ops/degradations.py). This script takes that
+capability end-to-end: train the TPU flagship config from scratch on the
+35 mounted frames with the full degradation chain ON (blur + noise +
+JPEG + posterize + inpainting holes), then measure restoration quality
+on held-out KITTI crops against the packaged pure-denoiser artifact
+(``unet_laplacian_v6_tpu_scratch``) over:
+
+* a deterministic corruption-chain suite (evaluate.degradation_sweep —
+  both models see bitwise-identical corrupted inputs), and
+* the README pure-noise sweep (the cost of generality on the original
+  task).
+
+Outputs ``restoration_sweep.json`` + markdown fragments for
+docs/TRAINING_DEMO.md. Run on the tunneled TPU (~1 h at 15k steps):
+    python scripts/train_restoration.py [--steps 15000]
+"""
+
+import argparse
+import json
+import os
+import shutil
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+KITTI_DIR = "/root/reference/images/test/kitti/files"
+MEGADEPTH_DIR = "/root/reference/images/test/megadepth/files"
+HELD_OUT = ("kitti_0000000000.png", "kitti_0000000042.png",
+            "kitti_0000000659.png", "kitti_0000003471.png")
+
+# the restoration report card: deterministic corruption chains
+# (evaluate.parse_degradation_spec syntax, applied left to right)
+SPECS = (
+    "jpeg:30",                 # heavy compression alone
+    "jpeg:50",                 # the reference's own mid-quality
+    "blur:1.0",                # mild optical blur alone
+    "blur:1.5+noise:25",       # optics then sensor noise
+    "noise:30+jpeg:50",        # noisy capture, then compressed
+    "posterize:8+noise:20",    # bit-depth loss + noise
+    "holes:0.1+noise:10",      # missing pixels + noise
+)
+
+NOISE_STDS = (1, 5, 10, 20, 30, 40, 50, 60, 70, 80)
+
+
+def held_out_crops() -> np.ndarray:
+    from blind_image_denoising_tpu.data.file_operations import load_image
+    crops = []
+    for f in HELD_OUT:
+        img = load_image(os.path.join(KITTI_DIR, f), num_channels=3)
+        for x0 in range(0, img.shape[1] - 256, 256):
+            crops.append(img[:256, x0:x0 + 256])
+    return np.stack(crops).astype(np.float32)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=15000)
+    ap.add_argument("--workdir", default="/tmp/restore_scratch")
+    ap.add_argument("--config", default="unet_laplacian_v6_tpu")
+    ap.add_argument("--baseline", default="unet_laplacian_v6_tpu_scratch",
+                    help="packaged pure-denoiser artifact to compare")
+    ap.add_argument("--skip-train", action="store_true")
+    args = ap.parse_args()
+
+    work = Path(args.workdir)
+    train_files = work / "train_kitti"
+    if not args.skip_train:
+        shutil.rmtree(work, ignore_errors=True)
+        work.mkdir(parents=True)
+        train_files.mkdir()
+        for f in sorted(os.listdir(KITTI_DIR)):
+            if f not in HELD_OUT:
+                os.symlink(os.path.join(KITTI_DIR, f), train_files / f)
+
+    import blind_image_denoising_tpu as bid
+    cfg = json.loads(json.dumps(bid.CONFIGS_DICT[args.config]))
+    cfg["dataset"]["inputs"] = [{"directory": str(train_files)},
+                                {"directory": MEGADEPTH_DIR}]
+    cfg["dataset"]["input_shape"] = [128, 128, 3]
+    cfg["dataset"]["batch_size"] = 16
+    cfg["dataset"]["repeat"] = True
+    cfg["dataset"]["no_crops_per_image"] = 4
+    cfg["dataset"]["min_crop_std"] = 2.0
+    # the corruption curriculum: the full on-device degradation chain.
+    # noise keeps the README range; log-uniform sampling keeps the
+    # near-clean regime populated now that JPEG/blur dominate mid-range
+    # distortion (ops/noise.py draw_stds).
+    cfg["dataset"]["additional_noise"] = [1, 80]
+    cfg["dataset"]["noise_sampling"] = "log_uniform"
+    cfg["dataset"]["random_blur"] = True           # sigma ~ U[0.1, 2.0]
+    cfg["dataset"]["use_jpeg_noise"] = True        # quality ~ U[25, 75]
+    cfg["dataset"]["quantization"] = 8             # posterize, p=0.5
+    cfg["dataset"]["inpaint_drop_rate"] = 0.05     # per-pixel holes
+    cfg["train"]["epochs"] = -1
+    cfg["train"]["total_steps"] = args.steps
+    cfg["train"]["ema"] = 0.9995
+    cfg["train"]["checkpoint_every"] = 5000
+    cfg["train"]["visualization_every"] = -1
+    cfg["train"]["use_test_images"] = False
+    cfg["train"]["log_every"] = 50
+    cfg["train"]["optimizer"]["schedule"] = {
+        "type": "cosine_decay",
+        "config": {"learning_rate": 1e-3, "decay_steps": args.steps,
+                   "alpha": 0.02}}
+    cfg["tpu"] = {"mesh": {"data": -1}, "compute_dtype": "bfloat16"}
+    cfg_path = work / "config.json"
+    cfg_path.write_text(json.dumps(cfg, indent=1))
+
+    ckpt = work / "ckpt"
+    if not args.skip_train:
+        from blind_image_denoising_tpu.training.train_loop import train_loop
+        state = train_loop(str(cfg_path), str(ckpt))
+        print(f"trained to step {int(state.step)}", flush=True)
+
+    from blind_image_denoising_tpu.inference.export import export_model
+    out_dir = work / "export"
+    if not (out_dir / "params.msgpack").exists():
+        export_model(str(cfg_path), str(ckpt), str(out_dir),
+                     to_stablehlo=False)
+    restore = bid.load_model(str(out_dir))
+    base = bid.load_model(args.baseline)
+
+    clean = held_out_crops()
+    print(f"eval crops: {clean.shape}", flush=True)
+
+    from blind_image_denoising_tpu.evaluate import (
+        degradation_sweep, noise_sweep)
+    report = {}
+    for name, den in (("restoration", restore), ("baseline", base)):
+        print(f"--- {name}: degradation suite", flush=True)
+        report[name] = {
+            "degradations": degradation_sweep(den, clean, SPECS, seed=0),
+        }
+    for name, den in (("restoration", restore), ("baseline", base)):
+        print(f"--- {name}: pure-noise sweep", flush=True)
+        report[name]["noise"] = noise_sweep(den, clean, stds=NOISE_STDS)
+
+    (work / "restoration_sweep.json").write_text(json.dumps(report, indent=1))
+
+    print("\n| corruption | corrupt MAE | baseline MAE | restoration MAE |")
+    print("|---|---|---|---|")
+    for rb, rr in zip(report["baseline"]["degradations"],
+                      report["restoration"]["degradations"]):
+        assert rb["degradation"] == rr["degradation"]
+        print(f"| {rb['degradation']} | {rb['mae_corrupt']:.2f} | "
+              f"{rb['mae_restored']:.2f} | {rr['mae_restored']:.2f} |")
+
+    print("\n| σ | noisy MAE | baseline MAE | restoration MAE |")
+    print("|---|---|---|---|")
+    for rb, rr in zip(report["baseline"]["noise"],
+                      report["restoration"]["noise"]):
+        print(f"| {rb['noise_std']:.0f} | {rb['mae_noisy']:.2f} | "
+              f"{rb['mae_denoised']:.2f} | {rr['mae_denoised']:.2f} |")
+
+
+if __name__ == "__main__":
+    main()
