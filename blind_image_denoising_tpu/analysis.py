@@ -109,6 +109,11 @@ def adaptive_filters(
             raise ValueError(f"pixel ({r}, {c}) outside image {h}x{w}")
     y, vjp_fn = jax.vjp(forward, x)
     n_ch = y.shape[-1]
+    if channel is not None and not (0 <= int(channel) < n_ch):
+        # same silent-scatter hazard as out-of-bounds pixels: the .at[]
+        # update would drop and every filter would come back all-zero
+        raise ValueError(f"channel {channel} outside output with "
+                         f"{n_ch} channels")
 
     rows = jnp.asarray([int(p[0]) for p in pixels])
     cols = jnp.asarray([int(p[1]) for p in pixels])
@@ -155,11 +160,16 @@ def net_bias_map(
     try:
         y, jdx = jax.jit(
             lambda xx: jax.jvp(forward, (xx,), (xx - center,)))(x)
-    except TypeError:
+    except TypeError as e:
         # models whose layers carry a custom VJP (e.g. the flagship's
         # FastLayerNorm, layers/norm.py) don't support forward-mode —
         # compute J·v reverse-over-reverse instead: with
-        # L(u) = ⟨vjp(u), v⟩, ∇_u L = J·v (two backward passes)
+        # L(u) = ⟨vjp(u), v⟩, ∇_u L = J·v (two backward passes).
+        # Only that specific JAX error is handled; a genuine TypeError in
+        # the user's forward must not be masked as "custom-VJP layer".
+        msg = str(e)
+        if "custom_vjp" not in msg and "forward-mode" not in msg:
+            raise
         logger.info("jvp unsupported (custom-VJP layer); using the "
                     "double-vjp transpose for the bias map")
 
@@ -191,11 +201,15 @@ def scale_equivariance(
     the relative L1 error."""
     x = jnp.asarray(image, jnp.float32)
     d = x - center
-    base = forward(x) - center
+    # one compiled program reused across alphas — the eager pipeline
+    # dispatches op-by-op, which is pathologically slow on the tunneled
+    # TPU (CLAUDE.md)
+    fwd = jax.jit(forward)
+    base = fwd(x) - center
     records = []
     for a in alphas:
         a = float(a)
-        scaled = forward(center + a * d) - center
+        scaled = fwd(center + a * d) - center
         target = a * base
         denom = float(jnp.abs(target).mean()) + 1e-8
         err = float(jnp.abs(scaled - target).mean())
@@ -301,7 +315,7 @@ def analyze(denoiser, image: np.ndarray,
             channel: Optional[int] = None,
             alphas: Sequence[float] = (0.25, 0.5, 0.75),
             mass_radius: int = 8,
-            center: float = DEFAULT_CENTER) -> dict:
+            center: float = DEFAULT_CENTER) -> tuple:
     """Run the full interpretability battery on one image.
 
     Returns ``(report, FilterResult, denoised, bias_map)`` where

@@ -109,7 +109,17 @@ def parse_degradation_spec(spec: str) -> List:
         if not sep:
             raise ValueError(f"degradation [{part}] needs a :value "
                              f"({DEGRADATION_STEPS[name]})")
-        steps.append((name, float(value)))
+        v = float(value)
+        ok = {"noise": 0.0 <= v,
+              "jpeg": 1.0 <= v <= 100.0,
+              "blur": 0.0 < v,
+              "posterize": 1.0 <= v,
+              "holes": 0.0 <= v < 1.0}[name]
+        if not (ok and np.isfinite(v)):
+            raise ValueError(
+                f"degradation [{name}:{value}] out of range "
+                f"({DEGRADATION_STEPS[name]})")
+        steps.append((name, v))
     return steps
 
 

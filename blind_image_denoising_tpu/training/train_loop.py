@@ -46,6 +46,46 @@ from .train_step import build_eval_step, build_train_step
 EVAL_NOISE_STDS = (0.0, 20.0, 40.0, 60.0, 80.0)
 
 
+def resolve_degradation_options(dataset_config: Dict) -> Dict:
+    """Resolve the five degradation keys the reference parses but never
+    applies (reference dataset.py:83-105) into ``build_train_step``
+    kwargs.
+
+    They are live ONLY under the explicit ``dataset.apply_degradations``
+    opt-in: every config in the reference's ecosystem carries aggressive
+    values (``inpaint_drop_rate`` 0.5, ``random_rotate`` 1.57) on the
+    assumption that they do nothing, so activating them silently would
+    retrain a different task on any imported or packaged recipe.
+    ``scripts/train_restoration.py`` sets the flag."""
+    apply = bool(dataset_config.get("apply_degradations", False))
+    resolved = {
+        "random_rotate": float(dataset_config.get("random_rotate") or 0.0),
+        "use_random_blur": bool(dataset_config.get("random_blur", False)),
+        "use_jpeg_noise": bool(dataset_config.get("use_jpeg_noise", False)),
+        "quantization": int(dataset_config.get("quantization") or -1),
+        "inpaint_drop_rate": float(
+            dataset_config.get("inpaint_drop_rate") or 0.0),
+    }
+    neutral = {"random_rotate": 0.0, "use_random_blur": False,
+               "use_jpeg_noise": False, "quantization": -1,
+               "inpaint_drop_rate": 0.0}
+    active = sorted(k for k, v in resolved.items()
+                    if v != neutral[k]
+                    and not (k == "quantization" and v <= 1))
+    if not apply:
+        if active:
+            logger.info(
+                "dataset config sets %s but dataset.apply_degradations is "
+                "not true — inert, matching the reference's behavior; set "
+                "\"apply_degradations\": true to train the restoration task",
+                ", ".join(active))
+        return neutral
+    if active:
+        logger.info("on-device degradation chain ACTIVE: %s",
+                    ", ".join(active))
+    return resolved
+
+
 def train_loop(
         pipeline_config: Union[str, Dict, Path],
         checkpoint_directory: Union[str, Path],
@@ -240,6 +280,8 @@ def train_loop(
         from .distill import build_teacher
         teacher_fn, distill_opts = build_teacher(distill_cfg)
 
+    degr = resolve_degradation_options(dataset_config)
+
     visualization_every = train_config.get("visualization_every", 1000)
     # per-kernel gradient five-number summaries for boxplot figures
     # (reference train_loop.py:532-541); on whenever visualization is on,
@@ -258,13 +300,10 @@ def train_loop(
             random_up_down=dataset_config.get("random_up_down", True),
             # the reference parses-but-ignores these five
             # (dataset.py:83-105); here they are real on-device
-            # degradations (ops/degradations.py)
-            random_rotate=float(dataset_config.get("random_rotate", 0.0)),
-            use_random_blur=bool(dataset_config.get("random_blur", False)),
-            use_jpeg_noise=bool(dataset_config.get("use_jpeg_noise", False)),
-            quantization=int(dataset_config.get("quantization", -1)),
-            inpaint_drop_rate=float(
-                dataset_config.get("inpaint_drop_rate", 0.0)),
+            # degradations (ops/degradations.py), gated behind the explicit
+            # dataset.apply_degradations opt-in so configs carrying the
+            # reference's (dead) values keep training the reference task
+            **degr,
             round_values=dataset_config.get("round_values", True),
             grad_accum=grad_accum,
             remat=train_config.get("remat", False),

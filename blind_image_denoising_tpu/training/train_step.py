@@ -154,11 +154,17 @@ def build_train_step(
 
     def prepare_micro_batch(rng, clean):
         """On-device augmentation + corruption for one micro-batch."""
-        k_flip, k_rot, k_noise = jax.random.split(rng, 3)
+        if random_rotate and random_rotate > 0.0:
+            k_flip, k_rot, k_noise = jax.random.split(rng, 3)
+        else:
+            # 2-way split preserves the exact noise key stream of
+            # pre-degradation-suite runs (seed reproducibility)
+            k_flip, k_noise = jax.random.split(rng, 2)
+            k_rot = None
         clean = random_flips(k_flip, clean,
                              left_right=random_left_right,
                              up_down=random_up_down)
-        if random_rotate and random_rotate > 0.0:
+        if k_rot is not None:
             # geometric augmentation of the CLEAN batch (the GT pyramid is
             # built from it below) — reference dataset.py:87-89 semantics
             from ..ops.degradations import random_rotate_batch

@@ -55,7 +55,9 @@ def held_out_crops() -> np.ndarray:
     crops = []
     for f in HELD_OUT:
         img = load_image(os.path.join(KITTI_DIR, f), num_channels=3)
-        for x0 in range(0, img.shape[1] - 256, 256):
+        # - 255 (not - 256) keeps the final full crop when the width is an
+        # exact multiple of 256, and a 256-wide image yields one crop
+        for x0 in range(0, img.shape[1] - 255, 256):
             crops.append(img[:256, x0:x0 + 256])
     return np.stack(crops).astype(np.float32)
 
@@ -74,7 +76,10 @@ def main():
     train_files = work / "train_kitti"
     if not args.skip_train:
         shutil.rmtree(work, ignore_errors=True)
-        work.mkdir(parents=True)
+    if not train_files.is_dir():
+        # also materialized under --skip-train so the written config's
+        # dataset.inputs always points at an existing directory
+        work.mkdir(parents=True, exist_ok=True)
         train_files.mkdir()
         for f in sorted(os.listdir(KITTI_DIR)):
             if f not in HELD_OUT:
@@ -95,6 +100,7 @@ def main():
     # distortion (ops/noise.py draw_stds).
     cfg["dataset"]["additional_noise"] = [1, 80]
     cfg["dataset"]["noise_sampling"] = "log_uniform"
+    cfg["dataset"]["apply_degradations"] = True    # the explicit opt-in
     cfg["dataset"]["random_blur"] = True           # sigma ~ U[0.1, 2.0]
     cfg["dataset"]["use_jpeg_noise"] = True        # quality ~ U[25, 75]
     cfg["dataset"]["quantization"] = 8             # posterize, p=0.5

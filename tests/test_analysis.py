@@ -210,6 +210,10 @@ def test_adaptive_filters_rejects_out_of_bounds_pixel():
     x = _rng_image(shape=(16, 16, 3), seed=17)
     with pytest.raises(ValueError, match="outside image"):
         analysis.adaptive_filters(fwd, x, [(16, 3)])
+    # same hazard for the channel index: OOB scatter would silently
+    # produce all-zero filters with nonsense bias/weight_sum
+    with pytest.raises(ValueError, match="channel"):
+        analysis.adaptive_filters(fwd, x, [(8, 8)], channel=3)
 
 
 def test_adaptive_filters_through_tta_ensemble():

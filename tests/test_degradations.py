@@ -266,3 +266,98 @@ def test_pallas_noise_conflicts_with_degradations():
         build_train_step(None, None, {"denoiser": None, "model": None},
                          no_outputs=1, use_pallas_noise=True,
                          use_jpeg_noise=True)
+
+
+# ---------------------------------------------------------------------------
+# the apply_degradations opt-in gate
+# ---------------------------------------------------------------------------
+
+
+NEUTRAL = {"random_rotate": 0.0, "use_random_blur": False,
+           "use_jpeg_noise": False, "quantization": -1,
+           "inpaint_drop_rate": 0.0}
+
+
+def test_degradations_inert_without_opt_in_for_every_shipped_config():
+    """Every packaged config carries the reference's (dead there)
+    degradation values — without the explicit dataset.apply_degradations
+    opt-in they must resolve to neutral, or retraining any shipped recipe
+    would silently train a different task (rotation, 50% inpainting)."""
+    import blind_image_denoising_tpu as bid
+    from blind_image_denoising_tpu.training.train_loop import (
+        resolve_degradation_options)
+    for name, cfg in bid.CONFIGS_DICT.items():
+        ds = cfg["dataset"]
+        assert "apply_degradations" not in ds, name
+        assert resolve_degradation_options(ds) == NEUTRAL, name
+
+
+def test_degradations_resolve_with_opt_in():
+    from blind_image_denoising_tpu.training.train_loop import (
+        resolve_degradation_options)
+    ds = {"apply_degradations": True, "random_rotate": 0.5,
+          "random_blur": True, "use_jpeg_noise": True,
+          "quantization": 8, "inpaint_drop_rate": 0.05}
+    assert resolve_degradation_options(ds) == {
+        "random_rotate": 0.5, "use_random_blur": True,
+        "use_jpeg_noise": True, "quantization": 8,
+        "inpaint_drop_rate": 0.05}
+    # opt-in with no keys set stays neutral
+    assert resolve_degradation_options({"apply_degradations": True}) \
+        == NEUTRAL
+
+
+def _tiny_step(monkeypatch_split=None, **kwargs):
+    from blind_image_denoising_tpu.models.hydra import model_builder
+    from blind_image_denoising_tpu.training.train_state import (
+        create_train_state)
+    from blind_image_denoising_tpu.training.train_step import (
+        build_train_step)
+    from blind_image_denoising_tpu.training.losses import (
+        loss_function_builder)
+    from blind_image_denoising_tpu.training.optimizer import (
+        optimizer_builder)
+    cfg = {"backbone": {
+        "type": "resnet", "input_shape": ["?", "?", 3], "filters": 4,
+        "no_layers": 1, "kernel_size": 3, "block_kernels": [3],
+        "block_filters": [4], "activation": "relu", "batchnorm": False,
+        "value_range": [0, 255], "kernel_regularizer": "l1",
+        "kernel_initializer": "glorot_normal"},
+        "denoiser": {"use_bias": False, "output_channels": 3}}
+    loss_fns = loss_function_builder(
+        {"hinge": 0.0, "mae_multiplier": 1.0, "ssim_multiplier": -1.0,
+         "regularization": 0.0})
+    tx, _ = optimizer_builder({
+        "type": "ADAM",
+        "schedule": {"type": "cosine_decay", "config": {
+            "learning_rate": 0.01, "decay_steps": 1000}}})
+    hydra = model_builder(cfg).hydra
+    sample = jnp.zeros((2, 16, 16, 3))
+    state = create_train_state(hydra, tx, jax.random.PRNGKey(0), sample)
+    step = build_train_step(hydra, tx, loss_fns, no_outputs=1,
+                            additive_noise=[1, 20], **kwargs)
+    return step, state
+
+
+@pytest.mark.parametrize("rotate,expect_three_way", [(0.0, False),
+                                                     (0.3, True)])
+def test_noise_key_stream_unchanged_by_degradation_suite(
+        monkeypatch, rotate, expect_three_way):
+    """With rotation off, the micro-batch rng must keep the original
+    2-way (flip, noise) split so pre-degradation-suite seeds reproduce
+    their corruption streams bitwise; the 3-way split appears only when
+    rotation is actually on."""
+    step, state = _tiny_step(random_rotate=rotate)
+    calls = []
+    orig = jax.random.split
+
+    def spy(key, num=2):
+        calls.append(int(num))
+        return orig(key, num)
+
+    monkeypatch.setattr(jax.random, "split", spy)
+    batch = jnp.asarray(np.random.default_rng(0).uniform(
+        0, 255, (2, 16, 16, 3)).astype(np.float32))
+    step(state, batch, jax.random.PRNGKey(1),  # unjitted: spy sees trace
+         jnp.ones((1,), jnp.float32))
+    assert (3 in calls) == expect_three_way

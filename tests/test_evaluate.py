@@ -53,6 +53,14 @@ def test_parse_degradation_spec():
         parse_degradation_spec("blur")
     with pytest.raises(ValueError, match="empty step"):
         parse_degradation_spec("blur:1++noise:2")
+    # value ranges: a bad value must raise, not feed NaN/garbage to the
+    # sweep (posterize:0 would divide by zero; holes is a probability)
+    for bad in ("posterize:0", "holes:1.0", "holes:1.5", "noise:-1",
+                "jpeg:0", "jpeg:101", "blur:0", "blur:nan"):
+        with pytest.raises(ValueError, match="out of range"):
+            parse_degradation_spec(bad)
+    assert parse_degradation_spec("holes:0.99+posterize:1") == [
+        ("holes", 0.99), ("posterize", 1.0)]
 
 
 def test_apply_degradations_deterministic_and_ordered():
