@@ -91,7 +91,7 @@ for _root in _search_dirs:
             }
 
 
-def load_model(name_or_path, quant: bool = False, tta: bool = False):
+def load_model(name_or_path, quant: bool = False, tta=False, dtype=None):
     """Load a pretrained denoiser by registry name or artifact directory
     path (reference __init__.py:81-97). Supports both native exported
     artifacts (params.msgpack + pipeline.json) and reference-style
@@ -101,11 +101,17 @@ def load_model(name_or_path, quant: bool = False, tta: bool = False):
     ``quant=True`` serves a native artifact's int8 path using its shipped
     calibration scales (export with --quantize; docs/QUANTIZATION.md).
 
-    ``tta=True`` serves the 8-way geometric self-ensemble (dihedral
-    test-time augmentation, inference/denoiser.py) — ~8× compute for a
-    measured MAE gain; native-graph paths only (exported artifacts and
-    the .keras import)."""
-    from .inference.export import load_exported_model
+    ``tta`` serves the geometric self-ensemble (dihedral test-time
+    augmentation, inference/denoiser.py): ``True``/``8`` = full 8-member
+    group, ``4`` = flip subgroup, ``2`` = {id, 180°} — extra compute ∝
+    members, measured frontier in docs/QUALITY_BENCHMARK.md;
+    native-graph paths only (exported artifacts and the .keras import).
+
+    ``dtype``: serving compute dtype. Default ``None`` honors the
+    artifact's own ``tpu.compute_dtype`` (pipeline.json — the dtype it
+    was trained in, bfloat16 for the TPU flagship artifacts); pass
+    "float32"/"bfloat16" to override. Native-graph paths only."""
+    from .inference.export import load_exported_model, resolve_compute_dtype
 
     path = (models[name_or_path]["directory"] if name_or_path in models
             else str(name_or_path))
@@ -114,20 +120,23 @@ def load_model(name_or_path, quant: bool = False, tta: bool = False):
             f"[{name_or_path}] is neither a known pretrained model "
             f"({sorted(models)}) nor an artifact directory")
     if _os.path.isfile(_os.path.join(path, "params.msgpack")):
-        return load_exported_model(path, quant=quant, tta=tta)
+        return load_exported_model(path, quant=quant, tta=tta, dtype=dtype)
     if quant:
         raise ValueError(
             f"quant=True needs a native exported artifact with "
             f"quant.msgpack; [{path}] has no params.msgpack")
     keras_path = _os.path.join(path, "model_hydra.keras")
     if _os.path.isfile(keras_path):
-        # native import of the reference pretrained weights (float32, runs
-        # through the standard any-size Denoiser; preferred over the
-        # slower quantized TFLite graph)
+        # native import of the reference pretrained weights (runs through
+        # the standard any-size Denoiser; preferred over the slower
+        # quantized TFLite graph). dtype=None = f32: reference imports
+        # carry no tpu.compute_dtype, and parity vs the reference
+        # artifact is their contract
         from .inference.import_v56 import build_pretrained_v56
         from .inference.denoiser import Denoiser
         try:
-            model, variables = build_pretrained_v56(keras_path)
+            model, variables = build_pretrained_v56(
+                keras_path, dtype=resolve_compute_dtype(dtype))
             return Denoiser(model, variables, pad_mode="pow2", tta=tta)
         except Exception as e:
             if tta:
@@ -140,6 +149,12 @@ def load_model(name_or_path, quant: bool = False, tta: bool = False):
         raise ValueError(
             f"tta=True needs a native-graph artifact (params.msgpack or "
             f"model_hydra.keras); [{path}] has neither")
+    if resolve_compute_dtype(dtype) is not None:
+        raise ValueError(
+            f"dtype={dtype!r} needs a native-graph artifact "
+            f"(params.msgpack or model_hydra.keras); [{path}] has "
+            f"neither — the SavedModel/TFLite fallbacks execute the "
+            f"artifact's own graph")
     from .inference.savedmodel import find_savedmodel
     sm_path = find_savedmodel(path)
     if sm_path is not None:

@@ -109,11 +109,16 @@ def adaptive_filters(
             raise ValueError(f"pixel ({r}, {c}) outside image {h}x{w}")
     y, vjp_fn = jax.vjp(forward, x)
     n_ch = y.shape[-1]
-    if channel is not None and not (0 <= int(channel) < n_ch):
-        # same silent-scatter hazard as out-of-bounds pixels: the .at[]
-        # update would drop and every filter would come back all-zero
-        raise ValueError(f"channel {channel} outside output with "
-                         f"{n_ch} channels")
+    if channel is not None:
+        channel = int(channel)
+        if -n_ch <= channel < 0:
+            channel += n_ch    # NumPy-style negative indexing
+        if not (0 <= channel < n_ch):
+            # same silent-scatter hazard as out-of-bounds pixels: the
+            # .at[] update would drop and every filter would come back
+            # all-zero
+            raise ValueError(f"channel {channel} outside output with "
+                             f"{n_ch} channels")
 
     rows = jnp.asarray([int(p[0]) for p in pixels])
     cols = jnp.asarray([int(p[1]) for p in pixels])
@@ -165,14 +170,10 @@ def net_bias_map(
         # FastLayerNorm, layers/norm.py) don't support forward-mode —
         # compute J·v reverse-over-reverse instead: with
         # L(u) = ⟨vjp(u), v⟩, ∇_u L = J·v (two backward passes).
-        # Only that specific JAX error is handled; a genuine TypeError in
-        # the user's forward must not be masked as "custom-VJP layer".
-        msg = str(e)
-        if "custom_vjp" not in msg and "forward-mode" not in msg:
-            raise
-        logger.info("jvp unsupported (custom-VJP layer); using the "
-                    "double-vjp transpose for the bias map")
-
+        # Robust to JAX rewording its error (ADVICE r3): rather than
+        # matching message substrings, ATTEMPT the reverse-mode fallback;
+        # a genuine TypeError in the user's forward fails there too and
+        # the original error is re-raised, so nothing is masked.
         @jax.jit
         def _rev_over_rev(xx):
             yy, vjp_fn = jax.vjp(forward, xx)
@@ -183,7 +184,12 @@ def net_bias_map(
 
             return yy, jax.grad(inner)(jnp.zeros_like(yy))
 
-        y, jdx = _rev_over_rev(x)
+        try:
+            y, jdx = _rev_over_rev(x)
+        except Exception:
+            raise e
+        logger.info("jvp unsupported (custom-VJP layer?); used the "
+                    "double-vjp transpose for the bias map")
     bias = y - center - jdx
     return np.asarray(y), np.asarray(bias)
 

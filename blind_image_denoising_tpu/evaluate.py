@@ -231,10 +231,17 @@ def main(argv=None) -> int:
     parser.add_argument("--quant", action="store_true",
                         help="evaluate the artifact's int8 path "
                              "(needs quant.msgpack; docs/QUANTIZATION.md)")
-    parser.add_argument("--tta", action="store_true",
-                        help="8-way geometric self-ensemble (dihedral "
-                             "test-time augmentation) — ~8x compute for "
-                             "a measured MAE gain")
+    parser.add_argument("--tta", nargs="?", const=8, default=0, type=int,
+                        choices=(0, 2, 4, 8),
+                        help="geometric self-ensemble members: bare flag "
+                             "or 8 = full dihedral group, 4 = flip "
+                             "subgroup, 2 = {id, 180°} — extra compute ∝ "
+                             "members (docs/QUALITY_BENCHMARK.md)")
+    parser.add_argument("--dtype", default=None, type=str,
+                        choices=("float32", "bfloat16"),
+                        help="serving compute dtype; default honors the "
+                             "artifact's own tpu.compute_dtype "
+                             "(pipeline.json)")
     args = parser.parse_args(argv)
 
     if getattr(args, "platform", None):
@@ -242,7 +249,8 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", args.platform)
 
     import blind_image_denoising_tpu as bid
-    denoiser = bid.load_model(args.model, quant=args.quant, tta=args.tta)
+    denoiser = bid.load_model(args.model, quant=args.quant, tta=args.tta,
+                              dtype=args.dtype)
     images = load_eval_images(args.images, size=args.size,
                               limit=args.limit)
     logger.info(f"evaluating {len(images)} images at {args.size}^2")

@@ -18,12 +18,14 @@ bucket — then cache hits. Improvements over the reference:
   exactly (fully-convolutional + sufficient halo).
 * multi-chip: pass a mesh + margin to shard full frames over the
   'spatial' axis with ICI halo exchange (parallel/spatial.py).
-* ``tta=True`` enables geometric self-ensembling: average the 8
-  dihedral transforms t⁻¹(f(t(x))) (flips × transpose) inside the one
-  jitted program. A classic denoising quality lever the reference does
-  not have; 8× compute for a measured ~0.1 MAE / ~0.15 dB gain at every
-  σ (docs/QUALITY_BENCHMARK.md). The group average makes the output
-  exactly equivariant to flips/transposes of the input.
+* ``tta`` enables geometric self-ensembling: average the dihedral
+  transforms t⁻¹(f(t(x))) (flips × transpose) inside the one jitted
+  program. A classic denoising quality lever the reference does not
+  have. ``True``/``8`` = the full 8-member group; ``4`` = the flip
+  subgroup (¼ the extra compute, no transposed shape buckets); ``2`` =
+  {id, 180°}. Measured cost/quality frontier per member count in
+  docs/QUALITY_BENCHMARK.md. Every subset is a closed subgroup, so the
+  average is exactly equivariant to that subgroup of input transforms.
 """
 
 from typing import Optional
@@ -75,7 +77,18 @@ class Denoiser:
         self._pad_multiple = int(pad_multiple)
         self._tile_rows = int(tile_rows)
         self._tile_halo = int(tile_halo)
-        self._tta = bool(tta)
+        # tta: False/0 = off; True or 8 = full dihedral group; 4 = the
+        # flip subgroup {id, lr, ud, lr+ud} (no transpose members — also
+        # avoids the second XLA shape bucket on non-square inputs);
+        # 2 = {id, 180° rotation}. Each subset is a closed subgroup, so
+        # the averaged output is exactly equivariant to that subgroup.
+        # Cost/quality frontier measured in docs/QUALITY_BENCHMARK.md.
+        members = 8 if tta is True else int(tta or 0)
+        if members not in (0, 2, 4, 8):
+            raise ValueError(f"tta must be False/True/2/4/8, got {tta!r}")
+        self._tta_members = {0: (), 2: (0, 3), 4: (0, 1, 2, 3),
+                             8: tuple(range(8))}[members]
+        self._tta = members > 0
         if tta and mesh is not None and mesh.shape.get("spatial", 1) > 1:
             raise ValueError(
                 "tta=True is single-mesh only: the transpose members of "
@@ -95,7 +108,11 @@ class Denoiser:
                 from ..ops.quant import quant_mode
                 with quant_mode("int8"):
                     return model.apply(v, x, train=False)[0]
-            return model.apply(v, x, train=False)[0]
+            # a reduced-precision model (bfloat16 serving) returns a
+            # reduced-precision tensor; the epilogue (TTA mean, clip/
+            # round) must run f32 — bf16 spacing is 1.0 gray level above
+            # 128, so rounding there would add avoidable quantization
+            return model.apply(v, x, train=False)[0].astype(jnp.float32)
 
         if mesh is not None and mesh.shape.get("spatial", 1) > 1:
             self._forward = denoise_spatially_sharded(
@@ -187,14 +204,15 @@ class Denoiser:
             return self._run_padded(img)
 
         if self._tta:
-            # geometric self-ensemble: mean over the dihedral group, all
-            # 8 forwards traced into the same program (XLA schedules them
-            # back-to-back; padding specializes per orientation)
+            # geometric self-ensemble: mean over a closed subgroup of
+            # the dihedral group, all forwards traced into the same
+            # program (XLA schedules them back-to-back; padding
+            # specializes per orientation)
             acc = None
-            for k in range(8):
+            for k in self._tta_members:
                 yk = _dihedral_inv(run(_dihedral(x, k)), k)
                 acc = yk if acc is None else acc + yk
-            return acc / 8.0
+            return acc / float(len(self._tta_members))
         return run(x)
 
     def _e2e(self, x: jnp.ndarray) -> jnp.ndarray:

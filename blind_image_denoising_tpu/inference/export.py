@@ -34,6 +34,33 @@ STABLEHLO_FILE = "denoiser.stablehlo"
 TFLITE_FILE = "denoiser_model.tflite"
 
 
+def resolve_compute_dtype(dtype, config: Optional[dict] = None):
+    """Resolve the serving compute dtype.
+
+    ``dtype=None`` (the default everywhere) honors the artifact's own
+    ``tpu.compute_dtype`` from pipeline.json — the dtype the model was
+    TRAINED in (training/train_loop.py reads the same key), so a bf16
+    flagship serves at its bf16 speed out of the box instead of a silent
+    f32 downgrade. Explicit strings ("bfloat16"/"bf16"/"float32"/"f32")
+    or jnp dtypes override. Returns a jnp dtype for bfloat16, or None
+    for float32 (the model_builder convention: None = compute in the
+    input dtype, which the serving path feeds as f32)."""
+    if dtype is None and config is not None:
+        dtype = config.get("tpu", {}).get("compute_dtype")
+    if dtype is None:
+        return None
+    if isinstance(dtype, str):
+        name = dtype.lower()
+        if name in ("bfloat16", "bf16"):
+            return jnp.bfloat16
+        if name in ("float32", "f32", "fp32"):
+            return None
+        raise ValueError(f"unknown compute dtype [{dtype}]; use "
+                         f"'bfloat16' or 'float32'")
+    dtype = jnp.dtype(dtype)
+    return None if dtype == jnp.float32 else dtype
+
+
 def _dim(v, default: int = 64) -> int:
     """Resolve a config spatial dim: "?" / None / <=0 (the any-size
     convention) -> ``default``."""
@@ -257,21 +284,33 @@ def _load_quant_scales(directory: Path, quant) -> Optional[dict]:
 def load_exported_model(directory: Union[str, Path],
                         cast_to_uint8: bool = True,
                         quant: bool = False,
-                        tta: bool = False) -> Denoiser:
+                        tta: bool = False,
+                        dtype=None) -> Denoiser:
     """Load an exported artifact directory into a ready Denoiser.
 
     ``quant=True`` serves the artifact's int8 path using the calibrated
     scales shipped in ``quant.msgpack`` (docs/QUANTIZATION.md).
-    ``tta=True`` serves the 8-way geometric self-ensemble
-    (inference/denoiser.py)."""
+    ``tta=True/int`` serves the geometric self-ensemble
+    (inference/denoiser.py).
+    ``dtype``: serving compute dtype. Default ``None`` honors the
+    artifact's own ``tpu.compute_dtype`` (pipeline.json) — the trained
+    dtype; pass "float32"/"bfloat16" to override. Params stay f32; only
+    conv/matmul compute runs reduced-precision. Quality drift is
+    quantified per σ in docs/QUALITY_BENCHMARK.md."""
     directory = Path(str(directory))
     config = load_config(str(directory / CONFIG_FILE))
     quant_scales = _load_quant_scales(directory, quant)
+    if quant:
+        # the int8 path sets its own per-site compute; a float override
+        # on top would change what the calibration measured
+        dtype = None
+    else:
+        dtype = resolve_compute_dtype(dtype, config)
 
     # special model families not buildable from the standard hydra config
     if config.get("model", {}).get("type") == "unet_laplacian_v56":
         from ..models.unet_laplacian_v56 import UnetLaplacianV56
-        model = UnetLaplacianV56()
+        model = UnetLaplacianV56(dtype=dtype)
         template = {"params": jax.eval_shape(
             lambda: model.init(jax.random.PRNGKey(0),
                                jnp.zeros((1, 64, 64, 3)),
@@ -285,7 +324,7 @@ def load_exported_model(directory: Union[str, Path],
         return Denoiser(model, variables, cast_to_uint8=cast_to_uint8,
                         quant=quant, tta=tta)
 
-    results = model_builder(config["model"])
+    results = model_builder(config["model"], dtype=dtype)
 
     # build a template then overwrite with saved bytes; artifacts written
     # by save_params_artifact may carry no dataset section — the backbone's

@@ -53,8 +53,10 @@ def _gamma_param(w: np.ndarray) -> jnp.ndarray:
     return jnp.asarray(w.reshape(-1))
 
 
-def build_pretrained_v56(keras_path: str):
-    """Returns (model, variables) with the pretrained weights loaded."""
+def build_pretrained_v56(keras_path: str, dtype=None):
+    """Returns (model, variables) with the pretrained weights loaded.
+    ``dtype``: compute dtype for the rebuilt module (e.g. jnp.bfloat16);
+    the imported weights stay float32 either way."""
     w = read_keras_weights(keras_path)
     bb = "functional_1/functional/"
 
@@ -109,7 +111,7 @@ def build_pretrained_v56(keras_path: str):
         params[f"head_{i}_conv_0"] = jnp.asarray(w[f"{fn}/conv2d"])
         params[f"head_{i}_conv_1"] = jnp.asarray(w[f"{fn}/conv2d_2"])
 
-    model = UnetLaplacianV56()
+    model = UnetLaplacianV56(dtype=dtype)
     variables = {"params": params}
 
     # structural validation against a fresh init

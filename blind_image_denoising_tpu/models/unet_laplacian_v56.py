@@ -47,13 +47,19 @@ def _conv(x, kernel, groups=1):
 def _qconv(module, site, x, kernel, groups=1):
     """Convolution with int8 PTQ hooks (ops/quant.py conv2d): float by
     default; records/uses the site's activation scale under
-    quant_mode('calibrate'/'int8')."""
+    quant_mode('calibrate'/'int8'). Compute dtype follows the module's
+    ``dtype`` attribute (bfloat16 when serving with dtype="bfloat16";
+    float32 default) — params stay float32 either way."""
     return quant_ops.conv2d(module, site, x, kernel, groups=groups,
-                            compute_dtype=jnp.float32)
+                            compute_dtype=getattr(module, "dtype", None)
+                            or jnp.float32)
 
 
 class _LN(nn.Module):
-    """LayerNorm over channels, scale-only (center=False), eps 1e-3."""
+    """LayerNorm over channels, scale-only (center=False), eps 1e-3.
+    Statistics in the input dtype; the f32 scale param is cast to it so
+    a bfloat16 activation path stays bfloat16 (f32 promotion would
+    silently undo the reduced-precision compute downstream)."""
     features: int
 
     @nn.compact
@@ -62,7 +68,7 @@ class _LN(nn.Module):
                            (self.features,))
         mean = jnp.mean(x, axis=-1, keepdims=True)
         var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
-        return (x - mean) * jax.lax.rsqrt(var + 1e-3) * gamma
+        return (x - mean) * jax.lax.rsqrt(var + 1e-3) * gamma.astype(x.dtype)
 
 
 class _Gamma(nn.Module):
@@ -72,13 +78,14 @@ class _Gamma(nn.Module):
     @nn.compact
     def __call__(self, x):
         w = self.param("w", nn.initializers.zeros_init(), (self.features,))
-        return x * jnp.tanh(jnp.maximum(1.0 + w, 0.0))
+        return x * jnp.tanh(jnp.maximum(1.0 + w, 0.0)).astype(x.dtype)
 
 
 class _ConvNextV56(nn.Module):
     """dw k×k (linear) → LN → 1×1 expand (GELU) → 1×1 project → gamma."""
     features: int
     dw_kernel: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -101,6 +108,7 @@ class _AttentionV56(nn.Module):
     softmax(q kᵀ) v → LN → 1×1 output conv → gamma."""
     channels: int          # input channels (128)
     attention_channels: int = 32
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -138,6 +146,7 @@ class UnetLaplacianV56(nn.Module):
     artifact); ``all_scales=True`` returns all three heads."""
     filters: int = 32
     width: int = 3
+    dtype: Any = None   # compute dtype (e.g. jnp.bfloat16); params stay f32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
@@ -159,7 +168,7 @@ class UnetLaplacianV56(nn.Module):
         for d in (0, 1):
             c = channels[d]
             for wdt in range(self.width):
-                h = h + _ConvNextV56(c, 5, name=f"enc_{d}_{wdt}")(h)
+                h = h + _ConvNextV56(c, 5, dtype=self.dtype, name=f"enc_{d}_{wdt}")(h)
             smooth = gaussian_blur(h, kernel_size=(3, 3))
             skips[d] = h - smooth
             down_k = self.param(f"down_{d}", nn.initializers.glorot_normal(),
@@ -169,7 +178,7 @@ class UnetLaplacianV56(nn.Module):
 
         # --- bottleneck: width× residual full-res attention
         for wdt in range(self.width):
-            h = h + _AttentionV56(channels[2], name=f"attn_{wdt}")(h)
+            h = h + _AttentionV56(channels[2], dtype=self.dtype, name=f"attn_{wdt}")(h)
         skips[2] = h
 
         # --- decoder d=1,0: linear 1×1 conv → bilinear 2×, add band skip,
@@ -182,7 +191,7 @@ class UnetLaplacianV56(nn.Module):
             v = upsample_2x_bilinear(
                 _qconv(self, f"up_{d}", decoded[d + 1], up_k)) + skips[d]
             for wdt in range(self.width):
-                v = v + _ConvNextV56(c, 1, name=f"dec_{d}_{wdt}")(v)
+                v = v + _ConvNextV56(c, 1, dtype=self.dtype, name=f"dec_{d}_{wdt}")(v)
             decoded[d] = v
 
         # --- heads: LN → 1×1 (leaky) → 1×1 → tanh(2x)·0.51 → denormalize

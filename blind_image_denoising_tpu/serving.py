@@ -260,6 +260,11 @@ def main(argv=None) -> int:
     parser.add_argument("--quant", action="store_true",
                         help="serve the artifact's int8 path "
                              "(needs quant.msgpack; docs/QUANTIZATION.md)")
+    parser.add_argument("--dtype", default=None, type=str,
+                        choices=("float32", "bfloat16"),
+                        help="serving compute dtype; default honors the "
+                             "artifact's own tpu.compute_dtype "
+                             "(pipeline.json)")
     parser.add_argument("--warm-shape", default=None, type=str,
                         help="precompile all batch buckets for an "
                              "expected image shape at startup, e.g. "
@@ -273,7 +278,8 @@ def main(argv=None) -> int:
     import blind_image_denoising_tpu as bid
     from http.server import ThreadingHTTPServer
 
-    batcher = BatchingDenoiser(bid.load_model(args.model, quant=args.quant),
+    batcher = BatchingDenoiser(bid.load_model(args.model, quant=args.quant,
+                                              dtype=args.dtype),
                                max_batch=args.max_batch,
                                max_wait_ms=args.max_wait_ms)
     if args.warm_shape:

@@ -214,6 +214,45 @@ def test_adaptive_filters_rejects_out_of_bounds_pixel():
     # produce all-zero filters with nonsense bias/weight_sum
     with pytest.raises(ValueError, match="channel"):
         analysis.adaptive_filters(fwd, x, [(8, 8)], channel=3)
+    with pytest.raises(ValueError, match="channel"):
+        analysis.adaptive_filters(fwd, x, [(8, 8)], channel=-4)
+    # NumPy-style negative indexing is normalized, not rejected
+    r_neg = analysis.adaptive_filters(fwd, x, [(8, 8)], channel=-1)
+    r_pos = analysis.adaptive_filters(fwd, x, [(8, 8)], channel=2)
+    np.testing.assert_array_equal(r_neg.filters, r_pos.filters)
+
+
+def test_net_bias_map_fallback_engages_on_custom_vjp():
+    """Pin the double-vjp fallback against a custom-VJP forward (the
+    flagship's FastLayerNorm situation): jvp raises TypeError, the
+    fallback must engage REGARDLESS of the error message wording
+    (ADVICE r3) and agree with the analytic Jacobian; a genuine user
+    TypeError must still surface, not be masked."""
+    c = analysis.DEFAULT_CENTER
+
+    @jax.custom_vjp
+    def scale_only(x):
+        return (x - c) * 0.25 + c
+
+    def _fwd(x):
+        return scale_only(x), None
+
+    def _bwd(_, g):
+        return (g * 0.25,)
+
+    scale_only.defvjp(_fwd, _bwd)
+
+    x = _rng_image(shape=(8, 8, 3), seed=23)
+    y, bias = analysis.net_bias_map(scale_only, x)
+    # affine-around-center: J·(x−c) = y−c exactly ⇒ zero net bias
+    np.testing.assert_allclose(bias, 0.0, atol=1e-4)
+    np.testing.assert_allclose(y, (x - c) * 0.25 + c, atol=1e-4)
+
+    def broken(x):
+        raise TypeError("user bug, not a custom-VJP limitation")
+
+    with pytest.raises(TypeError, match="user bug"):
+        analysis.net_bias_map(broken, x)
 
 
 def test_adaptive_filters_through_tta_ensemble():

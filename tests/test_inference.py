@@ -53,6 +53,41 @@ def test_denoiser_tta_equivariance():
     assert out.shape == img2.shape and out.dtype == np.uint8
 
 
+def test_denoiser_tta_member_subsets():
+    """tta=2/4 serve closed dihedral subgroups: exact equivariance to
+    that subgroup's transforms, same contract, fewer members averaged
+    (the cost/quality knob, docs/QUALITY_BENCHMARK.md)."""
+    hydra, variables = _tiny_hydra()
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+
+    d4 = Denoiser(hydra, variables, cast_to_uint8=False, tta=4,
+                  pad_multiple=8)
+    y = d4(img)
+    # flip subgroup: equivariant to lr/ud flips...
+    np.testing.assert_allclose(np.asarray(y)[:, ::-1], d4(img[:, ::-1]),
+                               atol=1e-2)
+    np.testing.assert_allclose(np.asarray(y)[::-1], d4(img[::-1]),
+                               atol=1e-2)
+
+    d2 = Denoiser(hydra, variables, cast_to_uint8=False, tta=2,
+                  pad_multiple=8)
+    y2 = d2(img)
+    # ...{id, 180°}: equivariant to 180° rotation
+    np.testing.assert_allclose(np.asarray(y2)[::-1, ::-1],
+                               d2(img[::-1, ::-1]), atol=1e-2)
+
+    # the three operating points are genuinely different ensembles
+    d8 = Denoiser(hydra, variables, cast_to_uint8=False, tta=True,
+                  pad_multiple=8)
+    y8 = d8(img)
+    assert not np.allclose(np.asarray(y), np.asarray(y8), atol=1e-4)
+    assert not np.allclose(np.asarray(y2), np.asarray(y), atol=1e-4)
+
+    with pytest.raises(ValueError, match="tta must be"):
+        Denoiser(hydra, variables, tta=3)
+
+
 def test_denoiser_tta_spatial_mesh_rejected():
     from blind_image_denoising_tpu.inference.denoiser import Denoiser
     from blind_image_denoising_tpu.parallel.mesh import create_mesh
@@ -133,6 +168,60 @@ def test_export_reload_roundtrip(tmp_path):
         # cross-program equality is ~1e-5 absolute on the 0–255 range
         # (sub-quantization-step: rounding to uint8 is identical)
         np.testing.assert_allclose(got, ref, rtol=0, atol=1e-2)
+
+
+def test_load_exported_model_honors_compute_dtype(tmp_path):
+    """A bf16-trained artifact serves bf16 BY DEFAULT through
+    load_exported_model (VERDICT r3 #1: the trained dtype is a product
+    property read from pipeline.json's tpu.compute_dtype, not a bench
+    trick), with explicit "float32"/"bfloat16" overrides both ways, and
+    bf16 output within a couple of gray levels of f32."""
+    import copy
+    from conftest import TINY_RESNET_MODEL
+    from blind_image_denoising_tpu.inference.export import (
+        load_exported_model, resolve_compute_dtype, save_params_artifact)
+
+    # resolve_compute_dtype contract
+    assert resolve_compute_dtype(None) is None
+    assert resolve_compute_dtype("float32") is None
+    assert resolve_compute_dtype("bf16") == jnp.bfloat16
+    assert resolve_compute_dtype(jnp.float32) is None
+    assert resolve_compute_dtype(jnp.bfloat16) == jnp.bfloat16
+    assert resolve_compute_dtype(
+        None, {"tpu": {"compute_dtype": "bfloat16"}}) == jnp.bfloat16
+    assert resolve_compute_dtype("float32",
+                                 {"tpu": {"compute_dtype": "bfloat16"}}) is None
+    with pytest.raises(ValueError, match="unknown compute dtype"):
+        resolve_compute_dtype("float16ish")
+
+    hydra, variables = _tiny_hydra()
+    cfg = {"model": copy.deepcopy(TINY_RESNET_MODEL),
+           "dataset": {"input_shape": [16, 16, 3]},
+           "tpu": {"compute_dtype": "bfloat16"}}
+    out_dir = save_params_artifact(variables["params"], cfg,
+                                   tmp_path / "bf16_artifact")
+
+    d_default = load_exported_model(out_dir)       # honors pipeline.json
+    assert d_default._model.dtype == jnp.bfloat16
+    d_f32 = load_exported_model(out_dir, dtype="float32")
+    assert d_f32._model.dtype is None
+    d_bf16 = load_exported_model(out_dir, dtype="bfloat16")
+    assert d_bf16._model.dtype == jnp.bfloat16
+
+    img = np.random.default_rng(5).integers(0, 256, (32, 32, 3),
+                                            dtype=np.uint8)
+    y32 = d_f32(img).astype(np.float32)
+    y16 = d_bf16(img).astype(np.float32)
+    assert y16.shape == img.shape and d_bf16(img).dtype == np.uint8
+    assert np.abs(y16 - y32).mean() < 2.0   # bf16 drift, gray levels
+
+    # an artifact with no tpu section serves f32 by default
+    cfg_f32 = {k: v for k, v in cfg.items() if k != "tpu"}
+    out2 = save_params_artifact(variables["params"], cfg_f32,
+                                tmp_path / "f32_artifact")
+    assert load_exported_model(out2)._model.dtype is None
+    assert load_exported_model(
+        out2, dtype="bfloat16")._model.dtype == jnp.bfloat16
 
 
 def test_tflite_emission_round_trip(tmp_path):
