@@ -1,7 +1,12 @@
-.PHONY: test bench train-v6 clean
+.PHONY: test test-all bench train-v6 clean
 
+# default tier: excludes the `slow` end-to-end tests (pytest.ini addopts)
 test:
 	python -m pytest tests/ -x -q
+
+# full tier: everything, including acceptance product + multihost cohorts
+test-all:
+	python -m pytest tests/ -x -q -m ""
 
 bench:
 	python bench.py

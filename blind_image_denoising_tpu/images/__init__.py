@@ -5,8 +5,14 @@ noise-sweep evaluation (reference bfcnn/images/__init__.py:16-23,
 train_loop.py:87-96). Shipping third-party photographs is avoided here;
 instead four deterministic synthetic 512×512 images with comparable
 frequency content (smooth gradients, edges, texture, mixed) are generated
-on first use. Users can drop real images into this directory — any
-``*.png/*.jpg`` found here is used instead.
+on first use. Two drop-in override paths (both re-checked at every
+``load_evaluation_images`` call, so no restart/reimport is needed):
+
+* set ``BID_TPU_EVAL_IMAGES_DIR`` to a directory of images — e.g. the
+  reference checkout's ``bfcnn/images/`` to evaluate on its exact four
+  classic photos (exercised by tests/test_pretrained.py when the
+  reference mount is present), or
+* drop ``*.png/*.jpg/*.jpeg/*.bmp`` files into this package directory.
 """
 
 import glob
@@ -16,10 +22,31 @@ from typing import List
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
+_EXTS = ("*.png", "*.jpg", "*.jpeg", "*.bmp")
+ENV_DIR = "BID_TPU_EVAL_IMAGES_DIR"
 
-evaluation_image_paths: List[str] = sorted(
-    glob.glob(os.path.join(_DIR, "*.png"))
-    + glob.glob(os.path.join(_DIR, "*.jpg")))
+
+def _glob_images(directory: str) -> List[str]:
+    return sorted(sum((glob.glob(os.path.join(directory, e))
+                       for e in _EXTS), []))
+
+
+def discover_evaluation_paths() -> List[str]:
+    """Real eval images, first source that has any: the ENV_DIR override
+    directory, then files dropped into this package dir. Empty list →
+    the synthetic fallback set."""
+    env_dir = os.environ.get(ENV_DIR)
+    if env_dir:
+        paths = _glob_images(env_dir)
+        if paths:
+            return paths
+    return _glob_images(_DIR)
+
+
+# import-time snapshot of the package dir (kept for API parity with the
+# reference's `images` list, reference bfcnn/images/__init__.py:16-23);
+# loaders use discover_evaluation_paths() at call time instead
+evaluation_image_paths: List[str] = _glob_images(_DIR)
 
 
 def _synthetic(idx: int, size: int = 512) -> np.ndarray:
@@ -52,10 +79,11 @@ def _synthetic(idx: int, size: int = 512) -> np.ndarray:
 
 def load_evaluation_images(size: int = 512) -> np.ndarray:
     """[4, size, size, 3] float32 eval batch in [0, 255]."""
-    if evaluation_image_paths:
+    paths = discover_evaluation_paths()
+    if paths:
         from ..data.file_operations import load_image
         imgs = [load_image(p, image_size=(size, size), num_channels=3)
-                for p in evaluation_image_paths[:4]]
+                for p in paths[:4]]
         return np.stack(imgs, axis=0).astype(np.float32)
     return np.stack([_synthetic(i, size) for i in range(4)],
                     axis=0).astype(np.float32)

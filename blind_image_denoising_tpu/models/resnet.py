@@ -144,7 +144,11 @@ class _ResidualSkeleton(nn.Module):
             dropout_rate=max(0.0, dropout_rate) if dropout_rate != -1 else 0.0,
             use_multiplier=cfg.get("add_learnable_multiplier", False),
             use_channelwise=cfg.get("add_channelwise_scaling", False),
-            selector_params=dict(selector_params) if selector_params else None,
+            # `is not None`, not truthiness: `"selector_params": {}` is a
+            # valid reference config meaning selector-with-defaults
+            # (reference backbone_resnet.py:126 keys on `is not None`)
+            selector_params=(dict(selector_params)
+                             if selector_params is not None else None),
             # reference backbone_resnet.py:228-229 pool_size (11, 11)
             mean_sigma_pool=(
                 11 if cfg.get("add_mean_sigma_normalization", False) else None),

@@ -31,13 +31,24 @@ def initialize(coordinator_address: str,
                num_processes: int,
                process_id: int,
                platform: Optional[str] = None,
-               local_device_count: Optional[int] = None) -> None:
+               local_device_count: Optional[int] = None,
+               initialization_timeout: int = 600,
+               heartbeat_timeout_seconds: int = 600) -> None:
     """Join the JAX distributed runtime. Call BEFORE any device use.
 
     ``platform``/``local_device_count`` force a simulated host platform
     (e.g. ``cpu`` with N virtual devices per process) for testing the
     multi-process path on machines without multiple accelerators; on real
     multi-host TPU pods leave both unset.
+
+    The timeouts are deliberately generous (2x/6x the jax defaults):
+    on a starved host — the dev machine exposes a SINGLE core to this
+    cgroup, so N ranks time-slice one CPU — a rank can sit unscheduled
+    long enough to miss the default 100 s heartbeat window mid-run or
+    stagger past the init barrier, which presented as the coordinator-
+    timeout flake in tests/test_multihost.py. Long timeouts only delay
+    failure DETECTION of a genuinely dead rank; they never slow a
+    healthy cohort (barriers release when the last rank arrives).
     """
     if local_device_count is not None:
         flags = os.environ.get("XLA_FLAGS", "")
@@ -55,7 +66,9 @@ def initialize(coordinator_address: str,
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
-        process_id=process_id)
+        process_id=process_id,
+        initialization_timeout=initialization_timeout,
+        heartbeat_timeout_seconds=heartbeat_timeout_seconds)
 
 
 def process_count() -> int:

@@ -13,6 +13,11 @@ import socket
 import subprocess
 import sys
 
+import pytest
+
+# subprocess-cohort tests: N real ranks time-slice this machine's single
+# core, so they dominate suite wall time -> `slow` tier (pytest.ini)
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 TINY_CONFIG = {
@@ -144,6 +149,7 @@ def _launch_two_ranks(cfg_path, ckpt_dir, tmp_path):
                          local_devices=4)
 
 
+@pytest.mark.slow
 def test_two_process_train(tmp_path):
     cfg_path = tmp_path / "config.json"
     cfg_path.write_text(json.dumps(TINY_CONFIG))
@@ -196,6 +202,7 @@ def test_two_process_train(tmp_path):
     assert 5 in steps and steps.count(5) == 1
 
 
+@pytest.mark.slow
 def test_four_process_train_and_resume(tmp_path):
     """Multi-host breadth (VERDICT r2 #8): 4 processes x 2 devices —
     train to step 3, then relaunch all four ranks against the same
@@ -234,6 +241,7 @@ def test_four_process_train_and_resume(tmp_path):
     assert 5 in steps and steps.count(5) == 1
 
 
+@pytest.mark.slow
 def test_two_process_spatial_training(tmp_path):
     """Multi-host SPATIALLY-PARALLEL training (VERDICT r2 #5): 2 processes
     x 4 devices, mesh (data 4, spatial 2) — the global batch assembles

@@ -331,3 +331,55 @@ def test_spatial_training_matches_single_device(backbone):
                     jax.tree_util.tree_leaves(s8.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_weak_scaling_shard_shapes_constant():
+    """Weak-scaling SHAPE contract: doubling the data axis with
+    per-device batch held fixed keeps every device's addressable shard
+    the same shape (the property that makes 'bandwidth scales linearly
+    with chips' the right model for this bandwidth-bound workload —
+    docs/PARALLELISM.md scaling model)."""
+    from blind_image_denoising_tpu.parallel.mesh import (
+        create_mesh, data_sharding)
+
+    per_device = 2
+    shapes = {}
+    for n in (2, 4, 8):
+        mesh = create_mesh(data=n, devices=jax.devices()[:n])
+        batch = jnp.zeros((per_device * n, 16, 16, 3), jnp.float32)
+        arr = jax.device_put(batch, data_sharding(mesh))
+        local = {d.shape for d in arr.addressable_shards_shapes} \
+            if hasattr(arr, "addressable_shards_shapes") else \
+            {s.data.shape for s in arr.addressable_shards}
+        assert local == {(per_device, 16, 16, 3)}, (n, local)
+        shapes[n] = local
+    assert shapes[2] == shapes[4] == shapes[8]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("n_devices", [16, 32])
+def test_graft_entry_dryrun_wide(n_devices):
+    """VERDICT r3 #4: the collective structure must hold beyond the
+    8-device session mesh — run the full dryrun (DP + spatial-4 halo
+    ring + spatially-sharded training + DCN multislice) at 16 and 32
+    virtual devices in a fresh process (device count is fixed at
+    backend init, so a subprocess is required)."""
+    import os
+    import subprocess
+    import sys
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)   # the child sets its own device count
+    env.pop("PYTHONPATH", None)
+    out = subprocess.run(
+        [sys.executable, "-c",
+         f"import __graft_entry__; "
+         f"__graft_entry__.dryrun_multichip({n_devices})"],
+        cwd="/root/repo", env=env, capture_output=True, text=True,
+        timeout=900)
+    assert out.returncode == 0, out.stdout[-3000:] + out.stderr[-3000:]
+    assert "DP train step OK" in out.stdout
+    assert "spatial halo-exchange inference OK" in out.stdout
+    assert "spatially-sharded train step OK" in out.stdout
+    assert "DCN multislice train step OK" in out.stdout
+    if n_devices >= 16:
+        assert "'spatial': 4" in out.stdout, out.stdout[-2000:]

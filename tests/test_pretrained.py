@@ -110,6 +110,7 @@ def _kitti_crops(width: int) -> np.ndarray:
                     reason="reference pretrained artifact not mounted")
 @pytest.mark.skipif(not os.path.isdir(KITTI_DIR),
                     reason="KITTI test frames not mounted")
+@pytest.mark.slow
 def test_acceptance_gate_all_kitti_full_sweep():
     """Reference-strength acceptance gate (test_pretrained.py:63-80 parity):
     the FULL product — every mounted KITTI frame at every std in
