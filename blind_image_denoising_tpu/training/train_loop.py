@@ -160,19 +160,39 @@ def train_loop(
     state = manager.restore(state)
 
     if weights_directory is not None and int(state.step) == 0:
-        # fine-tune: load params only from another run's latest checkpoint
+        # fine-tune: load params only — from another run's latest
+        # checkpoint, or from an EXPORTED ARTIFACT dir (params.msgpack,
+        # e.g. a packaged pretrained model): the "fine-tune the shipped
+        # flagship" path needs no original checkpoint directory
         try:
-            donor = CheckpointManager(str(weights_directory), max_to_keep=1)
-            donor_state = donor.restore(state)
-            # an EMA-tracking donor's averaged weights are the ones its
-            # own export ships — fine-tune from those, not the raw iterate
-            donor_params = donor_state.ema_params \
-                if donor_state.ema_params is not None else donor_state.params
-            state = state.replace(params=donor_params,
-                                  batch_stats=donor_state.batch_stats)
-            logger.info(f"loaded fine-tune weights from {weights_directory}"
-                        + (" (EMA)" if donor_state.ema_params is not None
-                           else ""))
+            import flax.serialization as _fser
+            artifact = Path(str(weights_directory)) / "params.msgpack"
+            if artifact.is_file():
+                raw = _fser.msgpack_restore(artifact.read_bytes())
+                state = state.replace(params=_fser.from_state_dict(
+                    state.params, raw["params"]))
+                if raw.get("batch_stats") and state.batch_stats:
+                    state = state.replace(
+                        batch_stats=_fser.from_state_dict(
+                            state.batch_stats, raw["batch_stats"]))
+                logger.info(f"loaded fine-tune weights from artifact "
+                            f"{artifact}")
+            else:
+                donor = CheckpointManager(str(weights_directory),
+                                          max_to_keep=1)
+                donor_state = donor.restore(state)
+                # an EMA-tracking donor's averaged weights are the ones
+                # its own export ships — fine-tune from those, not the
+                # raw iterate
+                donor_params = donor_state.ema_params \
+                    if donor_state.ema_params is not None \
+                    else donor_state.params
+                state = state.replace(params=donor_params,
+                                      batch_stats=donor_state.batch_stats)
+                logger.info(
+                    f"loaded fine-tune weights from {weights_directory}"
+                    + (" (EMA)" if donor_state.ema_params is not None
+                       else ""))
         except Exception as e:
             logger.warning(f"fine-tune weight load failed ({e}); "
                            f"training from scratch")

@@ -78,8 +78,18 @@ def main():
                     help="train.ema decay (e.g. 0.9995) — weight EMA; "
                          "export/eval then use the averaged weights")
     ap.add_argument("--init-from", default=None,
-                    help="checkpoint dir to load initial weights from "
-                         "(fine-tune instead of from-scratch)")
+                    help="checkpoint dir OR exported-artifact dir "
+                         "(params.msgpack — e.g. a packaged pretrained "
+                         "model's directory) to load initial weights "
+                         "from (fine-tune instead of from-scratch)")
+    ap.add_argument("--noise-range", default=None,
+                    help="dataset.additional_noise override as 'lo,hi' "
+                         "(default 1,80); a sub-1 floor plus "
+                         "log_uniform sampling is the near-identity "
+                         "low-sigma exposure recipe")
+    ap.add_argument("--lr", type=float, default=1e-3,
+                    help="peak LR of the cosine schedule (fine-tunes "
+                         "want ~3e-4)")
     ap.add_argument("--skip-train", action="store_true",
                     help="evaluate an existing checkpoint only")
     args = ap.parse_args()
@@ -108,6 +118,9 @@ def main():
     cfg["dataset"]["min_crop_std"] = 2.0
     if args.noise_sampling:
         cfg["dataset"]["noise_sampling"] = args.noise_sampling
+    if args.noise_range:
+        lo, hi = (float(v) for v in args.noise_range.split(","))
+        cfg["dataset"]["additional_noise"] = [lo, hi]
     cfg["train"]["epochs"] = -1
     cfg["train"]["total_steps"] = args.steps
     if args.grad_accum is not None:
@@ -122,7 +135,7 @@ def main():
     cfg["train"]["log_every"] = 50
     cfg["train"]["optimizer"]["schedule"] = {
         "type": "cosine_decay",
-        "config": {"learning_rate": 1e-3, "decay_steps": args.steps,
+        "config": {"learning_rate": args.lr, "decay_steps": args.steps,
                    "alpha": 0.02}}
     cfg["tpu"] = {"mesh": {"data": -1}, "compute_dtype": "bfloat16"}
     cfg_path = work / "config.json"

@@ -240,3 +240,46 @@ def test_uint8_batch_transfer_equivalent():
     _, m_u8 = step(state, u8, key, dw)
     assert float(m_f32[TOTAL_LOSS_STR]) == pytest.approx(
         float(m_u8[TOTAL_LOSS_STR]), rel=1e-6)
+
+
+def test_finetune_from_exported_artifact_dir(tmp_path):
+    """weights_directory accepts an exported-artifact dir (params.msgpack
+    — e.g. a packaged pretrained model), not only a checkpoint dir: the
+    'fine-tune the shipped flagship' path (train_loop.py fine-tune
+    block). LR=0 isolates the load: after one step the params must equal
+    the artifact's, not the fresh init."""
+    import copy
+    import json
+    import numpy as np
+    import jax
+    from conftest import tiny_resnet_hydra, TINY_RESNET_MODEL
+    from blind_image_denoising_tpu.inference.export import (
+        save_params_artifact)
+    from blind_image_denoising_tpu.training.train_loop import train_loop
+
+    hydra, variables = tiny_resnet_hydra()
+    donor_params = jax.tree_util.tree_map(lambda p: p * 3.0 + 0.125,
+                                          variables["params"])
+    art = save_params_artifact(
+        donor_params, {"model": copy.deepcopy(TINY_RESNET_MODEL)},
+        tmp_path / "artifact")
+
+    cfg = {
+        "model": copy.deepcopy(TINY_RESNET_MODEL),
+        "train": {"epochs": 1, "total_steps": 1, "checkpoint_every": -1,
+                  "visualization_every": -1, "use_test_images": False,
+                  "optimizer": {"type": "adam", "schedule": {
+                      "type": "exponential_decay", "config": {
+                          "learning_rate": 0.0, "decay_rate": 0.9,
+                          "decay_steps": 100}}}},
+        "loss": {"hinge": 0.0, "mae_multiplier": 1.0,
+                 "ssim_multiplier": -1.0},
+        "dataset": {"batch_size": 2, "input_shape": [16, 16, 3],
+                    "additional_noise": [5, 10], "inputs": []},
+    }
+    state = train_loop(cfg, tmp_path / "ckpt", weights_directory=art)
+    assert int(state.step) == 1
+    got = jax.tree_util.tree_leaves(state.params)
+    want = jax.tree_util.tree_leaves(donor_params)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
