@@ -41,7 +41,7 @@ from ..layers.norm import FastLayerNorm
 from ..layers.sampling import Downsample, Upsample
 from ..layers.stochastic import StochasticDepth
 from ..ops.pallas_pyramid import laplacian_band_smooth, on_tpu
-from ..ops.resize import avg_pool_same
+from ..ops.resize import avg_pool_same, depth_to_space, space_to_depth
 
 
 class UnetLaplacianBackbone(nn.Module):
@@ -218,6 +218,20 @@ class UnetLaplacianBackbone(nn.Module):
                     v = v_skip + v
             return v
 
+        # --- optional space-to-depth stem (MXU-oriented TPU extension,
+        # VERDICT r3 #3): pixel-unshuffle the input r×r so the dominant
+        # full-resolution level runs at H/r × W/r with r²·C_in channels —
+        # same pixel count, r²× the arithmetic intensity per conv row,
+        # fewer HBM-bound rows (docs/PERF.md roofline: this family is
+        # bandwidth-bound at C=32). Every scale output is pixel-shuffled
+        # back so the backbone's external scale contract (finest at H,
+        # scale k at H/2^k) is unchanged.
+        s2d = int(cfg.get("space_to_depth_stem", 0) or 0)
+        if s2d == 1:
+            raise ValueError("space_to_depth_stem must be 0 (off) or >= 2")
+        if s2d > 1:
+            x = space_to_depth(x, s2d)
+
         # --- base stem (reference backbone_unet_laplacian.py:276-316)
         if use_complex_base:
             x = conv_block_from_params(
@@ -319,9 +333,18 @@ class UnetLaplacianBackbone(nn.Module):
 
         # --- multi-scale outputs, finest first
         # (reference backbone_unet_laplacian.py:570-608)
-        if multiple_scale_outputs:
-            return [decoded[d] for d in range(depth)]
-        return [decoded[0]]
+        outs = ([decoded[d] for d in range(depth)]
+                if multiple_scale_outputs else [decoded[0]])
+        if s2d > 1:
+            for o in outs:
+                if o.shape[-1] % (s2d * s2d):
+                    raise ValueError(
+                        f"space_to_depth_stem={s2d} needs every level's "
+                        f"filters divisible by {s2d * s2d} to pixel-"
+                        f"shuffle back (got C={o.shape[-1]}); raise "
+                        f"'filters'")
+            outs = [depth_to_space(o, s2d) for o in outs]
+        return outs
 
 
 KNOWN_KEYS = frozenset({
@@ -338,5 +361,5 @@ KNOWN_KEYS = frozenset({
     "kernel_regularizer", "kernel_initializer",
     "dropout_rate", "spatial_dropout_rate", "depth_drop_rate",
     "convolutional_self_attention_dropout_rate",
-    "multiple_scale_outputs", "use_pallas_pyramid",
+    "multiple_scale_outputs", "use_pallas_pyramid", "space_to_depth_stem",
 })

@@ -72,3 +72,30 @@ def resize_bilinear(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
 def downsample_2x_stride(x: jnp.ndarray) -> jnp.ndarray:
     """Strided-slice 2x downsample (reference downsampling.py:61)."""
     return x[:, ::2, ::2, :]
+
+
+def space_to_depth(x: jnp.ndarray, r: int) -> jnp.ndarray:
+    """[B, H, W, C] → [B, H/r, W/r, C·r²] (pixel-unshuffle).
+
+    The MXU-oriented stem transform (docs/PERF.md: the full-resolution
+    level dominates HBM bytes and VPU work at tiny C; running it at
+    H/r × W/r with C·r² channels raises arithmetic intensity without
+    changing the pixel count). Channel blocks are ordered (row-offset,
+    col-offset, channel) so ``depth_to_space`` is its exact inverse."""
+    b, h, w, c = x.shape
+    if h % r or w % r:
+        raise ValueError(f"space_to_depth: H×W {h}×{w} not divisible by {r}")
+    x = x.reshape(b, h // r, r, w // r, r, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // r, w // r,
+                                                 r * r * c)
+
+
+def depth_to_space(x: jnp.ndarray, r: int) -> jnp.ndarray:
+    """[B, H, W, C] → [B, H·r, W·r, C/r²] (pixel-shuffle); inverse of
+    ``space_to_depth``."""
+    b, h, w, c = x.shape
+    if c % (r * r):
+        raise ValueError(f"depth_to_space: C={c} not divisible by {r * r}")
+    x = x.reshape(b, h, w, r, r, c // (r * r))
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h * r, w * r,
+                                                 c // (r * r))

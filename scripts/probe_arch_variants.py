@@ -88,7 +88,26 @@ def main():
     base = copy.deepcopy(bid.CONFIGS_DICT["unet_laplacian_v6"]["model"])
 
     variants = [("v6 control (dw5x5)", {})]
-    if "--perlevel" in sys.argv:
+    if "--mxu" in sys.argv:
+        # round 4 of the probe (VERDICT r3 #3): the INVERSE of trimming —
+        # raise arithmetic intensity toward the MXU ridge point. Base =
+        # the shipped TPU flagship (w[2,3,3] k[3,5,5]); levers: wider
+        # channels (C0 in {64, 128}) and the space-to-depth stem (full-
+        # res work at H/2 with 4x channels — same pixels, 4x intensity).
+        base = copy.deepcopy(bid.CONFIGS_DICT["unet_laplacian_v6_tpu"]["model"])
+        variants = [
+            ("v6_tpu control (C32)", {}),
+            ("C64", {"filters": 64}),
+            ("C128", {"filters": 128}),
+            ("s2d2 C32", {"space_to_depth_stem": 2}),
+            ("s2d2 C64", {"space_to_depth_stem": 2, "filters": 64}),
+            ("s2d2 C128", {"space_to_depth_stem": 2, "filters": 128}),
+            ("s2d2 C64 w3", {"space_to_depth_stem": 2, "filters": 64,
+                             "width": [3, 3, 3],
+                             "encoder_kernel_size": [5, 5, 5],
+                             "decoder_kernel_size": [5, 5, 5]}),
+        ]
+    elif "--perlevel" in sys.argv:
         # round 2 of the probe: per-level width/taps — the full-res level
         # dominates bytes AND VPU work, so go lean there and keep the coarse
         # levels at full capacity (uses the per-level list config extension)

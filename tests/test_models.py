@@ -270,3 +270,57 @@ def test_unet_laplacian_per_level_width_and_kernels():
     with pytest.raises(ValueError, match="one entry per level"):
         model_builder(bad).hydra.init(
             {"params": jax.random.PRNGKey(0)}, x, train=False)
+
+
+def test_space_to_depth_stem_contract():
+    """The MXU-oriented s2d stem (VERDICT r3 #3): pixel-unshuffle at the
+    stem, pixel-shuffle each scale output back — the backbone's external
+    scale contract (finest at H, scale k at H/2^k) and the any-size
+    Denoiser contract are unchanged; bad channel divisibility raises."""
+    import copy
+    import numpy as np
+    import pytest
+    import jax
+    import jax.numpy as jnp
+    import blind_image_denoising_tpu as bid
+    from blind_image_denoising_tpu.models.hydra import model_builder
+    from blind_image_denoising_tpu.ops.resize import (
+        depth_to_space, space_to_depth)
+
+    x = jnp.asarray(np.random.default_rng(0)
+                    .uniform(size=(2, 8, 12, 3)).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(depth_to_space(space_to_depth(x, 2), 2)), np.asarray(x))
+
+    cfg = copy.deepcopy(bid.CONFIGS_DICT["unet_laplacian_v6_tpu"]["model"])
+    cfg["backbone"].update(space_to_depth_stem=2, filters=8, depth=2,
+                           width=1, encoder_kernel_size=3,
+                           decoder_kernel_size=3,
+                           use_self_attention=False)
+    cfg["denoiser"]["filters"] = 8
+    res = model_builder(cfg)
+    v = res.hydra.init({"params": jax.random.PRNGKey(0)},
+                       jnp.zeros((1, 32, 32, 3)), train=False)
+    v = {k: val for k, val in v.items() if k in ("params", "batch_stats")}
+    outs = res.hydra.apply(v, jnp.zeros((2, 32, 32, 3)), train=False)
+    assert [o.shape for o in outs] == [(2, 32, 32, 3), (2, 16, 16, 3)]
+
+    from blind_image_denoising_tpu.inference.denoiser import Denoiser
+    d = Denoiser(res.hydra, v, pad_multiple=8)
+    img = np.random.default_rng(1).integers(0, 256, (30, 44, 3), np.uint8)
+    out = d(img)
+    assert out.shape == img.shape and out.dtype == np.uint8
+
+    bad = copy.deepcopy(cfg)
+    bad["backbone"]["filters"] = 6   # 6 % 4 != 0
+    with pytest.raises(ValueError, match="divisible"):
+        res_bad = model_builder(bad)
+        res_bad.hydra.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 16, 16, 3)), train=False)
+
+    with pytest.raises(ValueError, match="space_to_depth_stem"):
+        worse = copy.deepcopy(cfg)
+        worse["backbone"]["space_to_depth_stem"] = 1
+        model_builder(worse).hydra.init(
+            {"params": jax.random.PRNGKey(0)},
+            jnp.zeros((1, 16, 16, 3)), train=False)
