@@ -67,7 +67,10 @@ def main():
 
     print("devices:", jax.devices(), flush=True)
     model = sys.argv[1] if len(sys.argv) > 1 else "unet_laplacian_v56_highnoise"
-    den = bid.load_model(model)
+    # optional dtype override (argv[2]); default honors the artifact's
+    # own tpu.compute_dtype (pipeline.json)
+    dtype = sys.argv[2] if len(sys.argv) > 2 else None
+    den = bid.load_model(model, dtype=dtype)
 
     # warm every batch bucket of both shapes (the startup cost a real
     # server pays via --warm-shape; without it the first request at each
@@ -79,7 +82,7 @@ def main():
     warmer.close()
     print("warmup done", flush=True)
 
-    results = {"model": model}
+    results = {"model": model, "dtype": dtype or "artifact"}
     for conc in (1, 8, 32):
         batcher = BatchingDenoiser(den, max_batch=32, max_wait_ms=5.0)
         r = drive(batcher, conc, 20.0, [SHAPE])
