@@ -266,13 +266,26 @@ def random_quantize(key: jax.Array, batch: jnp.ndarray, q: float,
 
 
 def inpaint_dropout(key: jax.Array, batch: jnp.ndarray,
-                    drop_rate: float) -> jnp.ndarray:
+                    drop_rate: float, prob: float = 1.0) -> jnp.ndarray:
     """Zero a Bernoulli(``drop_rate``) per-pixel hole mask (shared across
     channels) so the model learns local inpainting
-    (``dataset.inpaint_drop_rate`` — reference dataset.py:85)."""
+    (``dataset.inpaint_drop_rate`` — reference dataset.py:85).
+
+    ``prob`` gates the degradation PER SAMPLE like the other ops
+    (default 1.0 keeps the deterministic semantics the evaluate
+    harness's corruption chains rely on). The round-4a restoration run
+    showed why the gate matters in training: ungated holes on 100% of
+    samples drive the MAE-optimal estimator toward heavy spatial
+    filtering everywhere, degrading every other task
+    (docs/TRAINING_DEMO.md round 4)."""
     b, h, w, _ = batch.shape
-    keep = jax.random.uniform(key, (b, h, w, 1)) >= float(drop_rate)
-    return jnp.where(keep, batch, jnp.zeros_like(batch))
+    k_flag, k_mask = jax.random.split(key)
+    keep = jax.random.uniform(k_mask, (b, h, w, 1)) >= float(drop_rate)
+    holed = jnp.where(keep, batch, jnp.zeros_like(batch))
+    if prob >= 1.0:
+        return holed
+    flags = jax.random.uniform(k_flag, (b, 1, 1, 1)) < prob
+    return jnp.where(flags, holed, batch)
 
 
 # ---------------------------------------------------------------------------
@@ -292,27 +305,40 @@ def degrade_batch(
         use_jpeg_noise: bool = False,
         jpeg_quality_range: Tuple[float, float] = (25.0, 75.0),
         quantization: int = -1,
-        inpaint_drop_rate: float = 0.0) -> jnp.ndarray:
+        inpaint_drop_rate: float = 0.0,
+        degradation_prob: float = 0.5) -> jnp.ndarray:
     """The full corruption chain, physical-pipeline ordered: optics (blur)
     → sensor (multiplicative/additive noise, ops/noise.py semantics) →
     encoder (JPEG on the clipped signal) → bit depth (quantization) →
     missing pixels (inpainting holes) → rounding. The clean batch is
-    untouched — ground truth stays the caller's responsibility."""
+    untouched — ground truth stays the caller's responsibility.
+
+    ``degradation_prob`` is the PER-SAMPLE gate shared by every extended
+    op (blur/JPEG/posterize/holes; the noise probabilities keep the
+    reference's own 50/50 semantics). At p each sample sees a random
+    SUBSET of the enabled ops, so the train distribution spans
+    mild-to-harsh instead of uniformly harsh — with k ops enabled a
+    fraction (1−p)^k of samples stays degradation-free (noise aside),
+    preserving the near-clean regime."""
     k_blur, k_noise, k_jpeg, k_quant, k_inp = jax.random.split(key, 5)
+    p = float(degradation_prob)
     noisy = clean
     if use_random_blur:
-        noisy = random_blur(k_blur, noisy, sigma_range=blur_sigma_range)
+        noisy = random_blur(k_blur, noisy, sigma_range=blur_sigma_range,
+                            prob=p)
     noisy = corrupt_batch(k_noise, noisy,
                           additive_noise=additive_noise,
                           multiplicative_noise=multiplicative_noise,
                           round_values=False,
                           noise_sampling=noise_sampling)
     if use_jpeg_noise:
-        noisy = random_jpeg(k_jpeg, noisy, quality_range=jpeg_quality_range)
+        noisy = random_jpeg(k_jpeg, noisy, quality_range=jpeg_quality_range,
+                            prob=p)
     if quantization and quantization > 1:
-        noisy = random_quantize(k_quant, noisy, float(quantization))
+        noisy = random_quantize(k_quant, noisy, float(quantization), prob=p)
     if inpaint_drop_rate and inpaint_drop_rate > 0.0:
-        noisy = inpaint_dropout(k_inp, noisy, float(inpaint_drop_rate))
+        noisy = inpaint_dropout(k_inp, noisy, float(inpaint_drop_rate),
+                                prob=p)
     if round_values:
         noisy = jnp.round(noisy)
     return noisy

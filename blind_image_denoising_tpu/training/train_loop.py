@@ -65,10 +65,14 @@ def resolve_degradation_options(dataset_config: Dict) -> Dict:
         "quantization": int(dataset_config.get("quantization") or -1),
         "inpaint_drop_rate": float(
             dataset_config.get("inpaint_drop_rate") or 0.0),
+        # per-sample gate shared by the extended ops (round-4a lesson:
+        # ungated holes on every sample wreck the mild-corruption regime)
+        "degradation_prob": float(
+            dataset_config.get("degradation_prob", 0.5)),
     }
     neutral = {"random_rotate": 0.0, "use_random_blur": False,
                "use_jpeg_noise": False, "quantization": -1,
-               "inpaint_drop_rate": 0.0}
+               "inpaint_drop_rate": 0.0, "degradation_prob": 0.5}
     active = sorted(k for k, v in resolved.items()
                     if v != neutral[k]
                     and not (k == "quantization" and v <= 1))

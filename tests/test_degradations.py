@@ -275,7 +275,7 @@ def test_pallas_noise_conflicts_with_degradations():
 
 NEUTRAL = {"random_rotate": 0.0, "use_random_blur": False,
            "use_jpeg_noise": False, "quantization": -1,
-           "inpaint_drop_rate": 0.0}
+           "inpaint_drop_rate": 0.0, "degradation_prob": 0.5}
 
 
 def test_degradations_inert_without_opt_in_for_every_shipped_config():
@@ -301,7 +301,10 @@ def test_degradations_resolve_with_opt_in():
     assert resolve_degradation_options(ds) == {
         "random_rotate": 0.5, "use_random_blur": True,
         "use_jpeg_noise": True, "quantization": 8,
-        "inpaint_drop_rate": 0.05}
+        "inpaint_drop_rate": 0.05, "degradation_prob": 0.5}
+    # the per-sample gate is configurable
+    assert resolve_degradation_options(
+        dict(ds, degradation_prob=0.35))["degradation_prob"] == 0.35
     # opt-in with no keys set stays neutral
     assert resolve_degradation_options({"apply_degradations": True}) \
         == NEUTRAL
@@ -361,3 +364,38 @@ def test_noise_key_stream_unchanged_by_degradation_suite(
     step(state, batch, jax.random.PRNGKey(1),  # unjitted: spy sees trace
          jnp.ones((1,), jnp.float32))
     assert (3 in calls) == expect_three_way
+
+
+def test_per_sample_degradation_gate():
+    """degradation_prob gates EVERY extended op per sample — at p=0.5
+    with holes enabled, ~half the samples must be hole-free (the
+    round-4a restoration run showed ungated 100% holes poison the mild
+    regime), and p=0 leaves the batch untouched by the extended ops."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from blind_image_denoising_tpu.ops.degradations import (
+        degrade_batch, inpaint_dropout)
+
+    clean = jnp.full((64, 16, 16, 3), 128.0)
+    key = jax.random.PRNGKey(0)
+
+    holed = np.asarray(inpaint_dropout(key, clean, 0.25, prob=0.5))
+    per_sample_holes = (holed == 0.0).mean(axis=(1, 2, 3))
+    untouched = float((per_sample_holes == 0.0).mean())
+    assert 0.25 < untouched < 0.75, untouched
+    # gated-in samples carry ~25% holes
+    touched = per_sample_holes[per_sample_holes > 0]
+    assert abs(float(touched.mean()) - 0.25) < 0.05
+
+    # prob=1.0 (the evaluate harness's deterministic-chain contract):
+    # every sample is holed
+    all_holed = np.asarray(inpaint_dropout(key, clean, 0.25, prob=1.0))
+    assert ((all_holed == 0.0).mean(axis=(1, 2, 3)) > 0.1).all()
+
+    # p=0: the full chain reduces to noise-only
+    out = np.asarray(degrade_batch(
+        key, clean, additional := None, round_values=True,
+        use_random_blur=True, use_jpeg_noise=True, quantization=8,
+        inpaint_drop_rate=0.3, degradation_prob=0.0))
+    assert (out == 128.0).all()
