@@ -65,6 +65,12 @@ def held_out_crops() -> np.ndarray:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=15000)
+    ap.add_argument("--degradation-prob", type=float, default=0.5,
+                    help="per-sample gate for each extended op "
+                         "(ops/degradations.degrade_batch). The round-4a "
+                         "run at ungated holes lost to the pure denoiser "
+                         "on 6/7 chains; v2 uses 0.35 so ~18%% of samples "
+                         "stay degradation-free (noise aside)")
     ap.add_argument("--workdir", default="/tmp/restore_scratch")
     ap.add_argument("--config", default="unet_laplacian_v6_tpu")
     ap.add_argument("--baseline", default="unet_laplacian_v6_tpu_scratch",
@@ -103,8 +109,9 @@ def main():
     cfg["dataset"]["apply_degradations"] = True    # the explicit opt-in
     cfg["dataset"]["random_blur"] = True           # sigma ~ U[0.1, 2.0]
     cfg["dataset"]["use_jpeg_noise"] = True        # quality ~ U[25, 75]
-    cfg["dataset"]["quantization"] = 8             # posterize, p=0.5
+    cfg["dataset"]["quantization"] = 8             # posterize
     cfg["dataset"]["inpaint_drop_rate"] = 0.05     # per-pixel holes
+    cfg["dataset"]["degradation_prob"] = args.degradation_prob
     cfg["train"]["epochs"] = -1
     cfg["train"]["total_steps"] = args.steps
     cfg["train"]["ema"] = 0.9995
