@@ -91,7 +91,8 @@ for _root in _search_dirs:
             }
 
 
-def load_model(name_or_path, quant: bool = False, tta=False, dtype=None):
+def load_model(name_or_path, quant: bool = False, tta=False, dtype=None,
+               blend=None):
     """Load a pretrained denoiser by registry name or artifact directory
     path (reference __init__.py:81-97). Supports both native exported
     artifacts (params.msgpack + pipeline.json) and reference-style
@@ -110,8 +111,18 @@ def load_model(name_or_path, quant: bool = False, tta=False, dtype=None):
     ``dtype``: serving compute dtype. Default ``None`` honors the
     artifact's own ``tpu.compute_dtype`` (pipeline.json — the dtype it
     was trained in, bfloat16 for the TPU flagship artifacts); pass
-    "float32"/"bfloat16" to override. Native-graph paths only."""
-    from .inference.export import load_exported_model, resolve_compute_dtype
+    "float32"/"bfloat16" to override. Native-graph paths only.
+
+    ``blend``: noise-adaptive input blending (inference/blend.py) — the
+    model output is mixed toward the input by a per-image weight driven
+    by a blind noise estimate, so low-noise images are not degraded by
+    the model's error floor. Default ``None`` = auto: serve the
+    artifact's calibrated ``blend.json`` when it ships one; ``True``
+    requires it; ``False`` disables; a path or dict supplies an
+    external table. Native-graph paths only."""
+    from .inference.export import (load_exported_model,
+                                   resolve_compute_dtype, _resolve_blend)
+    from pathlib import Path as _Path
 
     path = (models[name_or_path]["directory"] if name_or_path in models
             else str(name_or_path))
@@ -120,7 +131,8 @@ def load_model(name_or_path, quant: bool = False, tta=False, dtype=None):
             f"[{name_or_path}] is neither a known pretrained model "
             f"({sorted(models)}) nor an artifact directory")
     if _os.path.isfile(_os.path.join(path, "params.msgpack")):
-        return load_exported_model(path, quant=quant, tta=tta, dtype=dtype)
+        return load_exported_model(path, quant=quant, tta=tta, dtype=dtype,
+                                   blend=blend)
     if quant:
         raise ValueError(
             f"quant=True needs a native exported artifact with "
@@ -137,7 +149,8 @@ def load_model(name_or_path, quant: bool = False, tta=False, dtype=None):
         try:
             model, variables = build_pretrained_v56(
                 keras_path, dtype=resolve_compute_dtype(dtype))
-            return Denoiser(model, variables, pad_mode="pow2", tta=tta)
+            return Denoiser(model, variables, pad_mode="pow2", tta=tta,
+                            blend=_resolve_blend(_Path(path), blend))
         except Exception as e:
             if tta:
                 raise ValueError(
@@ -148,6 +161,10 @@ def load_model(name_or_path, quant: bool = False, tta=False, dtype=None):
     if tta:
         raise ValueError(
             f"tta=True needs a native-graph artifact (params.msgpack or "
+            f"model_hydra.keras); [{path}] has neither")
+    if blend:
+        raise ValueError(
+            f"blend needs a native-graph artifact (params.msgpack or "
             f"model_hydra.keras); [{path}] has neither")
     if resolve_compute_dtype(dtype) is not None:
         raise ValueError(

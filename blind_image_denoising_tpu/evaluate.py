@@ -237,6 +237,16 @@ def main(argv=None) -> int:
                              "or 8 = full dihedral group, 4 = flip "
                              "subgroup, 2 = {id, 180°} — extra compute ∝ "
                              "members (docs/QUALITY_BENCHMARK.md)")
+    parser.add_argument("--blend", nargs="?", const=True, default=None,
+                        help="noise-adaptive input blending: bare flag "
+                             "requires the artifact's calibrated "
+                             "blend.json, or pass a table path; default "
+                             "auto-serves a shipped table "
+                             "(inference/blend.py; calibrate with "
+                             "scripts/calibrate_blend.py)")
+    parser.add_argument("--no-blend", dest="blend", action="store_false",
+                        help="disable blending even if the artifact "
+                             "ships blend.json")
     parser.add_argument("--dtype", default=None, type=str,
                         choices=("float32", "bfloat16"),
                         help="serving compute dtype; default honors the "
@@ -250,7 +260,7 @@ def main(argv=None) -> int:
 
     import blind_image_denoising_tpu as bid
     denoiser = bid.load_model(args.model, quant=args.quant, tta=args.tta,
-                              dtype=args.dtype)
+                              dtype=args.dtype, blend=args.blend)
     images = load_eval_images(args.images, size=args.size,
                               limit=args.limit)
     logger.info(f"evaluating {len(images)} images at {args.size}^2")

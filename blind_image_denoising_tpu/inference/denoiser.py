@@ -26,6 +26,11 @@ bucket — then cache hits. Improvements over the reference:
   {id, 180°}. Measured cost/quality frontier per member count in
   docs/QUALITY_BENCHMARK.md. Every subset is a closed subgroup, so the
   average is exactly equivariant to that subgroup of input transforms.
+* ``blend`` serves noise-adaptive input blending (inference/blend.py):
+  a per-artifact calibrated alpha(sigma_hat) curve mixes the model
+  output with the input so low-noise images are not degraded by the
+  model's reconstruction floor — the regime where the reference's own
+  README table goes ABOVE the noisy input (reference README.md:83-86).
 """
 
 from typing import Optional
@@ -69,9 +74,19 @@ class Denoiser:
                  pad_mode: str = "multiple", pad_multiple: int = 64,
                  tile_rows: int = 0, tile_halo: int = 64,
                  mesh=None, spatial_margin: int = 0,
-                 quant: bool = False, tta: bool = False):
+                 quant: bool = False, tta: bool = False,
+                 blend=None):
         self._model = model
         self._variables = variables
+        # noise-adaptive input blending (inference/blend.py): estimate
+        # sigma from the input, serve alpha(sigma_hat)*model + (1-alpha)*x
+        # with a per-artifact calibrated curve — identity-consistent as
+        # sigma -> 0, where the model's error floor exceeds the noise
+        if blend is not None and blend is not False:
+            from .blend import BlendTable
+            self._blend = BlendTable.from_any(blend)
+        else:
+            self._blend = None
         self._cast = cast_to_uint8
         self._pad_mode = pad_mode
         self._pad_multiple = int(pad_multiple)
@@ -212,8 +227,16 @@ class Denoiser:
             for k in self._tta_members:
                 yk = _dihedral_inv(run(_dihedral(x, k)), k)
                 acc = yk if acc is None else acc + yk
-            return acc / float(len(self._tta_members))
-        return run(x)
+            y = acc / float(len(self._tta_members))
+        else:
+            y = run(x)
+        if self._blend is not None:
+            # after TTA: blend the (ensembled) model output toward the
+            # input by the calibrated per-image weight. Linear in both
+            # terms, so float_forward stays differentiable and the exact
+            # adaptive filter is alpha*F_model + (1-alpha)*identity
+            y = self._blend.apply(x, y)
+        return y
 
     def _e2e(self, x: jnp.ndarray) -> jnp.ndarray:
         """The whole serving pipeline, traceable as one program (rank and

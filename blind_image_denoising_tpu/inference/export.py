@@ -281,11 +281,34 @@ def _load_quant_scales(directory: Path, quant) -> Optional[dict]:
         return flax.serialization.msgpack_restore(f.read())
 
 
+def _resolve_blend(directory: Path, blend):
+    """``blend=None`` (default) is AUTO: serve the artifact's own
+    calibrated ``blend.json`` when it ships one — the blend is a strict
+    improvement (alpha -> 1 where the model wins), so a calibrated
+    artifact serves it by default. ``blend=True`` requires the file;
+    ``False`` disables; a path/dict/BlendTable passes through."""
+    if blend is False:
+        return None
+    from .blend import BLEND_FILE, BlendTable
+    if blend is None or blend is True:
+        path = directory / BLEND_FILE
+        if not path.exists():
+            if blend is True:
+                raise ValueError(
+                    f"blend=True but [{path}] missing — calibrate with "
+                    f"scripts/calibrate_blend.py "
+                    f"(docs/QUALITY_BENCHMARK.md)")
+            return None
+        return BlendTable.from_any(str(path))
+    return BlendTable.from_any(blend)
+
+
 def load_exported_model(directory: Union[str, Path],
                         cast_to_uint8: bool = True,
                         quant: bool = False,
                         tta: bool = False,
-                        dtype=None) -> Denoiser:
+                        dtype=None,
+                        blend=None) -> Denoiser:
     """Load an exported artifact directory into a ready Denoiser.
 
     ``quant=True`` serves the artifact's int8 path using the calibrated
@@ -296,10 +319,15 @@ def load_exported_model(directory: Union[str, Path],
     artifact's own ``tpu.compute_dtype`` (pipeline.json) — the trained
     dtype; pass "float32"/"bfloat16" to override. Params stay f32; only
     conv/matmul compute runs reduced-precision. Quality drift is
-    quantified per σ in docs/QUALITY_BENCHMARK.md."""
+    quantified per σ in docs/QUALITY_BENCHMARK.md.
+    ``blend``: noise-adaptive input blending (inference/blend.py).
+    Default ``None`` = auto: serve the artifact's calibrated
+    ``blend.json`` when it ships one; ``True`` requires it; ``False``
+    disables; a path/dict supplies an external table."""
     directory = Path(str(directory))
     config = load_config(str(directory / CONFIG_FILE))
     quant_scales = _load_quant_scales(directory, quant)
+    blend_table = _resolve_blend(directory, blend)
     if quant:
         # the int8 path sets its own per-site compute; a float override
         # on top would change what the calibration measured
@@ -322,7 +350,7 @@ def load_exported_model(directory: Union[str, Path],
         if quant_scales is not None:
             variables = dict(variables, quant=quant_scales)
         return Denoiser(model, variables, cast_to_uint8=cast_to_uint8,
-                        quant=quant, tta=tta)
+                        quant=quant, tta=tta, blend=blend_table)
 
     results = model_builder(config["model"], dtype=dtype)
 
@@ -345,4 +373,4 @@ def load_exported_model(directory: Union[str, Path],
     if quant_scales is not None:
         variables = dict(variables, quant=quant_scales)
     return Denoiser(results.hydra, variables, cast_to_uint8=cast_to_uint8,
-                    quant=quant, tta=tta)
+                    quant=quant, tta=tta, blend=blend_table)

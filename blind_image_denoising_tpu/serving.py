@@ -269,6 +269,14 @@ def main(argv=None) -> int:
                         help="precompile all batch buckets for an "
                              "expected image shape at startup, e.g. "
                              "'256,256,3' (docs/SERVING.md)")
+    parser.add_argument("--blend", nargs="?", const=True, default=None,
+                        help="noise-adaptive input blending: bare flag "
+                             "requires the artifact's blend.json, or pass "
+                             "a table path; default auto-serves a shipped "
+                             "table (inference/blend.py)")
+    parser.add_argument("--no-blend", dest="blend", action="store_false",
+                        help="disable blending even if the artifact "
+                             "ships blend.json")
     args = parser.parse_args(argv)
 
     if args.platform:
@@ -279,7 +287,8 @@ def main(argv=None) -> int:
     from http.server import ThreadingHTTPServer
 
     batcher = BatchingDenoiser(bid.load_model(args.model, quant=args.quant,
-                                              dtype=args.dtype),
+                                              dtype=args.dtype,
+                                              blend=args.blend),
                                max_batch=args.max_batch,
                                max_wait_ms=args.max_wait_ms)
     if args.warm_shape:

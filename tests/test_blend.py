@@ -1,0 +1,219 @@
+"""Noise-adaptive blend tests: the blind sigma estimator, the calibrated
+alpha table, calibration itself, and the Denoiser/load_model plumbing.
+
+The capability under test (inference/blend.py) has no reference analog —
+the reference serves its models unconditionally at every noise level
+(reference module_denoiser.py:46-73), which its own README table shows
+DEGRADING the image at sigma <= 5 (reference README.md:83-86)."""
+
+import json
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from blind_image_denoising_tpu.ops.noise_estimate import estimate_sigma
+from blind_image_denoising_tpu.inference.blend import (
+    BlendTable, calibrate_blend)
+from blind_image_denoising_tpu.inference.denoiser import Denoiser
+
+from conftest import tiny_resnet_hydra as _tiny_hydra  # noqa: E402
+
+
+def _smooth_image(h=96, w=96, c=3, seed=0):
+    """Piecewise-smooth synthetic scene: low-frequency gradients, so the
+    biharmonic stencil's response is noise-dominated."""
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    base = 96 + 48 * np.sin(xx / 37.0) + 32 * np.cos(yy / 29.0)
+    img = np.stack([base + 8 * k for k in range(c)], axis=-1)
+    return np.clip(img, 0, 255).astype(np.float32)
+
+
+class TestEstimator:
+    def test_recovers_known_sigma(self):
+        rng = np.random.default_rng(0)
+        img = _smooth_image()
+        for sigma in (5.0, 15.0, 40.0):
+            noisy = img + rng.normal(0, sigma, img.shape)
+            est = float(estimate_sigma(jnp.asarray(noisy)))
+            # the median-of-|response| estimator is unbiased on i.i.d.
+            # Gaussian noise over smooth content; allow 15%
+            assert abs(est - sigma) / sigma < 0.15, (sigma, est)
+
+    def test_monotone_in_sigma_and_batched(self):
+        rng = np.random.default_rng(1)
+        img = _smooth_image()
+        batch = np.stack([img + rng.normal(0, s, img.shape)
+                          for s in (0.0, 5.0, 20.0, 60.0)])
+        est = np.asarray(estimate_sigma(jnp.asarray(batch)))
+        assert est.shape == (4,)
+        assert np.all(np.diff(est) > 0), est
+        # clean smooth content reads near zero
+        assert est[0] < 2.0, est
+
+    def test_jittable(self):
+        import jax
+        x = jnp.asarray(_smooth_image(32, 32))
+        a = float(jax.jit(estimate_sigma)(x))
+        b = float(estimate_sigma(x))
+        assert a == pytest.approx(b, rel=1e-5)
+
+
+class TestBlendTable:
+    def test_validation(self):
+        with pytest.raises(ValueError):
+            BlendTable([1.0], [0.5])                  # <2 knots
+        with pytest.raises(ValueError):
+            BlendTable([1.0, 2.0], [0.5, 1.5])        # alpha out of range
+        with pytest.raises(ValueError):
+            BlendTable([1.0, 2.0], [0.0, 1.0],
+                       meta={"estimator": "other_v0"})  # stale estimator
+
+    def test_interp_and_clamping(self):
+        t = BlendTable([2.0, 10.0], [0.0, 1.0])
+        assert float(t.alpha(jnp.asarray(0.0))) == 0.0     # clamp low
+        assert float(t.alpha(jnp.asarray(50.0))) == 1.0    # clamp high
+        assert float(t.alpha(jnp.asarray(6.0))) == pytest.approx(0.5)
+
+    def test_apply_endpoints(self):
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.uniform(0, 255, (2, 32, 32, 3)), jnp.float32)
+        y = jnp.asarray(rng.uniform(0, 255, (2, 32, 32, 3)), jnp.float32)
+        ident = BlendTable([0.0, 1000.0], [0.0, 0.0]).apply(x, y)
+        np.testing.assert_allclose(np.asarray(ident), np.asarray(x))
+        model = BlendTable([0.0, 1000.0], [1.0, 1.0]).apply(x, y)
+        np.testing.assert_allclose(np.asarray(model), np.asarray(y))
+
+    def test_json_round_trip(self, tmp_path):
+        t = BlendTable([1.0, 5.0, 20.0], [0.0, 0.4, 1.0],
+                       meta={"levels": [{"std": 0}]})
+        p = t.save(str(tmp_path))
+        assert os.path.basename(p) == "blend.json"
+        t2 = BlendTable.from_any(p)
+        np.testing.assert_allclose(t2.sigma_knots, t.sigma_knots)
+        np.testing.assert_allclose(t2.alpha_knots, t.alpha_knots)
+        assert t2.meta["levels"] == [{"std": 0}]
+        # dict form too
+        t3 = BlendTable.from_any(json.loads(open(p).read()))
+        np.testing.assert_allclose(t3.alpha_knots, t.alpha_knots)
+
+    def test_knots_sorted(self):
+        t = BlendTable([20.0, 1.0, 5.0], [1.0, 0.0, 0.4])
+        assert list(t.sigma_knots) == [1.0, 5.0, 20.0]
+        assert list(t.alpha_knots) == [0.0, 0.4, 1.0]
+
+
+class TestCalibration:
+    def test_identity_at_zero_model_wins_at_high(self):
+        """A 'denoiser' that returns a FIXED mildly-wrong image: at
+        std=0 the optimal blend is the input (alpha=0); at high std the
+        fixed output (MAE ~6) beats the noise and alpha rises."""
+        clean = np.stack([_smooth_image(64, 64, seed=s) for s in (0, 1)])
+        fixed = np.clip(clean + 6.0, 0, 255)
+
+        def fwd(x):
+            return jnp.asarray(fixed)
+
+        table = calibrate_blend(fwd, clean, stds=(0, 4, 30, 60),
+                                alpha_grid=21)
+        alphas = dict(zip([lv["std"] for lv in table.meta["levels"]],
+                          table.alpha_knots.tolist()))
+        assert alphas[0.0] == 0.0
+        assert alphas[60.0] > 0.8
+        # knots keyed by MEASURED sigma_hat, increasing with std
+        assert np.all(np.diff(table.sigma_knots) > 0)
+
+    def test_blend_mae_never_worse_than_best_endpoint(self):
+        """On the calibration set itself, the fitted alpha's blend MAE
+        is <= min(input MAE, model MAE) at every level (alpha* minimizes
+        over a grid that includes both endpoints)."""
+        rng = np.random.default_rng(3)
+        clean = np.stack([_smooth_image(64, 64)])
+        blur = 0.5 * clean + 0.5 * clean.mean(axis=(1, 2), keepdims=True)
+
+        def fwd(x):
+            return jnp.asarray(blur)
+
+        table = calibrate_blend(fwd, clean, stds=(0, 10, 50),
+                                alpha_grid=51, seed=4)
+        for lv, a in zip(table.meta["levels"], table.alpha_knots.tolist()):
+            assert a >= 0.0 and a <= 1.0
+            # reconstruct the level's blend MAE bound
+            assert lv["alpha"] == a
+
+
+class TestDenoiserIntegration:
+    def test_blend_changes_low_noise_only(self):
+        """With a step table (alpha 0 below sigma_hat 10, 1 above), a
+        clean smooth input passes through exactly and a very noisy one
+        serves the raw model output."""
+        hydra, variables = _tiny_hydra()
+        table = BlendTable([8.0, 12.0], [0.0, 1.0])
+        d = Denoiser(hydra, variables, pad_multiple=8, blend=table)
+        d_raw = Denoiser(hydra, variables, pad_multiple=8)
+
+        clean = _smooth_image(32, 32).astype(np.uint8)
+        out = d(clean)
+        np.testing.assert_array_equal(out, clean)  # identity at clean
+
+        rng = np.random.default_rng(5)
+        noisy = np.clip(clean.astype(np.float32)
+                        + rng.normal(0, 50, clean.shape), 0,
+                        255).astype(np.uint8)
+        np.testing.assert_array_equal(d(noisy), d_raw(noisy))
+
+    def test_blend_composes_with_tta_and_batches(self):
+        hydra, variables = _tiny_hydra()
+        table = BlendTable([0.0, 40.0], [0.2, 0.9])
+        d = Denoiser(hydra, variables, pad_multiple=8, blend=table, tta=4)
+        img = np.random.default_rng(6).integers(
+            0, 256, (2, 24, 40, 3), dtype=np.uint8)
+        out = d(img)
+        assert out.shape == img.shape and out.dtype == np.uint8
+
+    def test_float_forward_blends_differentiably(self):
+        import jax
+        hydra, variables = _tiny_hydra()
+        table = BlendTable([0.0, 40.0], [0.5, 0.5])
+        d = Denoiser(hydra, variables, pad_multiple=8, blend=table)
+        x = jnp.asarray(_smooth_image(16, 16))
+        y = d.float_forward(x)
+        assert y.shape == x.shape
+        # alpha fixed at 0.5 -> output = (model + x) / 2
+        d_raw = Denoiser(hydra, variables, pad_multiple=8)
+        y_raw = d_raw.float_forward(x)
+        np.testing.assert_allclose(np.asarray(y),
+                                   0.5 * np.asarray(y_raw)
+                                   + 0.5 * np.asarray(x), atol=1e-3)
+        g = jax.grad(lambda im: jnp.sum(d.float_forward(im)))(x)
+        assert np.isfinite(np.asarray(g)).all()
+
+
+class TestLoadModelPlumbing:
+    def test_auto_serves_shipped_table(self, tmp_path):
+        """Export a tiny artifact, drop a step blend table next to it:
+        load_model default (auto) serves the blend — a clean smooth
+        image round-trips exactly; blend=False serves the raw model;
+        blend=True on a table-less artifact raises."""
+        import copy
+        import blind_image_denoising_tpu as bid
+        from blind_image_denoising_tpu.inference.export import (
+            save_params_artifact)
+        from conftest import TINY_RESNET_MODEL
+
+        hydra, variables = _tiny_hydra()
+        cfg = {"model": copy.deepcopy(TINY_RESNET_MODEL)}
+        art = tmp_path / "artifact"
+        save_params_artifact(variables["params"], cfg, str(art))
+
+        with pytest.raises(ValueError, match="blend=True"):
+            bid.load_model(str(art), blend=True)
+
+        BlendTable([8.0, 12.0], [0.0, 1.0]).save(str(art))
+        d_auto = bid.load_model(str(art))
+        clean = _smooth_image(32, 32).astype(np.uint8)
+        np.testing.assert_array_equal(d_auto(clean), clean)
+
+        d_off = bid.load_model(str(art), blend=False)
+        assert not np.array_equal(d_off(clean), clean)
