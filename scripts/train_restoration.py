@@ -69,9 +69,16 @@ def main():
                     help="per-sample gate for each extended op "
                          "(ops/degradations.degrade_batch). The round-4a "
                          "run at ungated holes lost to the pure denoiser "
-                         "on 6/7 chains; v2 uses 0.35 so ~18%% of samples "
-                         "stay degradation-free (noise aside)")
+                         "on 6/7 chains; the v2 run gates each op at 0.5 "
+                         "so ~6%% of samples stay degradation-free "
+                         "(noise aside) and every op sees a clean "
+                         "contrast class")
     ap.add_argument("--workdir", default="/tmp/restore_scratch")
+    ap.add_argument("--resume", action="store_true",
+                    help="keep the workdir and resume from its latest "
+                         "checkpoint (train_loop restores automatically) "
+                         "instead of starting clean — for preempted or "
+                         "tunnel-wedged runs")
     ap.add_argument("--config", default="unet_laplacian_v6_tpu")
     ap.add_argument("--baseline", default="unet_laplacian_v6_tpu_scratch",
                     help="packaged pure-denoiser artifact to compare")
@@ -80,7 +87,7 @@ def main():
 
     work = Path(args.workdir)
     train_files = work / "train_kitti"
-    if not args.skip_train:
+    if not args.skip_train and not args.resume:
         shutil.rmtree(work, ignore_errors=True)
     if not train_files.is_dir():
         # also materialized under --skip-train so the written config's
