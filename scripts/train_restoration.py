@@ -82,6 +82,18 @@ def main():
     ap.add_argument("--config", default="unet_laplacian_v6_tpu")
     ap.add_argument("--baseline", default="unet_laplacian_v6_tpu_scratch",
                     help="packaged pure-denoiser artifact to compare")
+    ap.add_argument("--init-from", default=None,
+                    help="artifact or checkpoint dir to fine-tune from "
+                         "(train_loop weights_directory) instead of "
+                         "training from scratch. The v2 from-scratch run "
+                         "saturated its output head in the early high-LR "
+                         "phase and never recovered; starting from the "
+                         "packaged pure denoiser removes that failure "
+                         "mode and is the natural recipe anyway — "
+                         "restoration as a capability EXTENSION of the "
+                         "shipped flagship")
+    ap.add_argument("--lr", type=float, default=1e-3,
+                    help="peak cosine LR (use ~2e-4 with --init-from)")
     ap.add_argument("--skip-train", action="store_true")
     args = ap.parse_args()
 
@@ -128,7 +140,7 @@ def main():
     cfg["train"]["log_every"] = 50
     cfg["train"]["optimizer"]["schedule"] = {
         "type": "cosine_decay",
-        "config": {"learning_rate": 1e-3, "decay_steps": args.steps,
+        "config": {"learning_rate": args.lr, "decay_steps": args.steps,
                    "alpha": 0.02}}
     cfg["tpu"] = {"mesh": {"data": -1}, "compute_dtype": "bfloat16"}
     cfg_path = work / "config.json"
@@ -136,8 +148,11 @@ def main():
 
     ckpt = work / "ckpt"
     if not args.skip_train:
+        init = args.init_from
+        if init is not None and init in bid.models:
+            init = bid.models[init]["directory"]
         from blind_image_denoising_tpu.training.train_loop import train_loop
-        state = train_loop(str(cfg_path), str(ckpt))
+        state = train_loop(str(cfg_path), str(ckpt), weights_directory=init)
         print(f"trained to step {int(state.step)}", flush=True)
 
     from blind_image_denoising_tpu.inference.export import export_model
