@@ -28,6 +28,25 @@ is served via ``load_model(..., blend=True)``.
 Because alpha enters linearly, the blended denoiser's exact adaptive
 filter (analysis.py) is alpha * F_model + (1 - alpha) * identity — the
 interpretability story composes.
+
+Two-band refinement (round 4): a single global alpha must trade the
+WHOLE image between input and model, but the two error sources live at
+different frequencies — white readout noise is spectrally flat while
+image power concentrates at low frequency, so the input's LOW band is
+nearly clean even at moderate sigma, and the model's reconstruction
+error (blur, texture loss, color drift) is what corrupts ITS low band.
+Splitting with the packaged depthwise Gaussian (ops/gaussian.py, the
+same op the GaussianFilter layer wraps) and blending the bands with
+independent calibrated curves
+
+    l = G*x,  out = alpha_low(s)  * G*y + (1-alpha_low(s))  * G*x
+            +  alpha_high(s) * (y-G*y) + (1-alpha_high(s)) * (x-G*x)
+
+strictly generalizes the global blend (alpha_low == alpha_high
+recovers it exactly, so calibration can only improve) and stays linear
+in (x, y) — the adaptive-filter decomposition still composes. Tables
+with an ``alpha_low`` array serve the two-band path; v1 tables keep
+working unchanged.
 """
 
 import json
@@ -45,12 +64,19 @@ BLEND_FILE = "blend.json"
 # or the robust statistic ever changes, so stale tables fail loudly
 ESTIMATOR = "immerkaer_median_v1"
 
+# the band-split low-pass (two-band tables): depthwise Gaussian, same
+# parametrization as the packaged GaussianFilter layer defaults
+BAND_KERNEL = 5
+BAND_NSIG = 2.0
+
 
 class BlendTable:
-    """Piecewise-linear alpha(sigma_hat) with clamped ends."""
+    """Piecewise-linear alpha(sigma_hat) with clamped ends; optionally a
+    second ``alpha_low`` curve for the two-band (Gaussian-split) blend."""
 
     def __init__(self, sigma_knots: Sequence[float],
                  alpha_knots: Sequence[float],
+                 alpha_low_knots: Optional[Sequence[float]] = None,
                  meta: Optional[Dict] = None):
         s = np.asarray(sigma_knots, np.float32)
         a = np.asarray(alpha_knots, np.float32)
@@ -58,14 +84,24 @@ class BlendTable:
             raise ValueError(
                 f"blend table needs matching 1-D knot arrays of >=2 "
                 f"entries, got sigma {s.shape} alpha {a.shape}")
+        al = None
+        if alpha_low_knots is not None:
+            al = np.asarray(alpha_low_knots, np.float32)
+            if al.shape != s.shape:
+                raise ValueError(
+                    f"alpha_low knots {al.shape} must match sigma_hat "
+                    f"knots {s.shape}")
         order = np.argsort(s, kind="stable")
         s, a = s[order], a[order]
+        al = al[order] if al is not None else None
         if not np.all(np.diff(s) >= 0):
             raise ValueError("sigma_hat knots must be sortable")
-        if np.any((a < 0.0) | (a > 1.0)):
+        if np.any((a < 0.0) | (a > 1.0)) or (
+                al is not None and np.any((al < 0.0) | (al > 1.0))):
             raise ValueError("alpha knots must lie in [0, 1]")
         self.sigma_knots = s
         self.alpha_knots = a
+        self.alpha_low_knots = al
         self.meta = dict(meta or {})
         est = self.meta.setdefault("estimator", ESTIMATOR)
         if est != ESTIMATOR:
@@ -80,8 +116,10 @@ class BlendTable:
             return spec
         if isinstance(spec, dict):
             return cls(spec["sigma_hat"], spec["alpha"],
+                       alpha_low_knots=spec.get("alpha_low"),
                        meta={k: v for k, v in spec.items()
-                             if k not in ("sigma_hat", "alpha")})
+                             if k not in ("sigma_hat", "alpha",
+                                          "alpha_low")})
         if isinstance(spec, (str, os.PathLike)):
             path = str(spec)
             if os.path.isdir(path):
@@ -94,6 +132,8 @@ class BlendTable:
         d = dict(self.meta)
         d["sigma_hat"] = [float(v) for v in self.sigma_knots]
         d["alpha"] = [float(v) for v in self.alpha_knots]
+        if self.alpha_low_knots is not None:
+            d["alpha_low"] = [float(v) for v in self.alpha_low_knots]
         return d
 
     def save(self, path: str) -> str:
@@ -105,17 +145,38 @@ class BlendTable:
         return path
 
     def alpha(self, sigma_hat: jnp.ndarray) -> jnp.ndarray:
-        """alpha for (a batch of) sigma_hat values; ends clamp."""
+        """alpha (high band in two-band tables) for (a batch of)
+        sigma_hat values; ends clamp."""
         return jnp.interp(sigma_hat, jnp.asarray(self.sigma_knots),
                           jnp.asarray(self.alpha_knots))
 
+    def alpha_low(self, sigma_hat: jnp.ndarray) -> jnp.ndarray:
+        if self.alpha_low_knots is None:
+            return self.alpha(sigma_hat)
+        return jnp.interp(sigma_hat, jnp.asarray(self.sigma_knots),
+                          jnp.asarray(self.alpha_low_knots))
+
+    def band_split(self, x: jnp.ndarray) -> jnp.ndarray:
+        """The table's low band of x (the SAME op at calibration and
+        serving time — kernel/nsig travel in meta)."""
+        from ..ops.gaussian import gaussian_blur
+        k = int(self.meta.get("band_kernel", BAND_KERNEL))
+        nsig = float(self.meta.get("band_nsig", BAND_NSIG))
+        return gaussian_blur(x, (k, k), (nsig, nsig))
+
     def apply(self, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
         """Blend model output y toward input x by the calibrated
-        per-image weight. x, y: [B, H, W, C] float32 in [0, 255]."""
+        per-image weight(s). x, y: [B, H, W, C] float32 in [0, 255]."""
         from ..ops.noise_estimate import estimate_sigma
-        a = self.alpha(estimate_sigma(x))
-        a = a.reshape((-1,) + (1,) * (y.ndim - 1)).astype(y.dtype)
-        return a * y + (1.0 - a) * x
+        s_hat = estimate_sigma(x)
+        shape = (-1,) + (1,) * (y.ndim - 1)
+        a = self.alpha(s_hat).reshape(shape).astype(y.dtype)
+        if self.alpha_low_knots is None:
+            return a * y + (1.0 - a) * x
+        al = self.alpha_low(s_hat).reshape(shape).astype(y.dtype)
+        lx, ly = self.band_split(x), self.band_split(y)
+        return (al * ly + (1.0 - al) * lx
+                + a * (y - ly) + (1.0 - a) * (x - lx))
 
 
 def _optimal_alpha(err_in: np.ndarray, err_out: np.ndarray,
@@ -133,13 +194,42 @@ def _optimal_alpha(err_in: np.ndarray, err_out: np.ndarray,
     return best_a
 
 
+def _optimal_alpha2(err_in: np.ndarray, d_low: np.ndarray,
+                    d_high: np.ndarray, grid: int):
+    """argmin over (alpha_low, alpha_high) in [0, 1]^2 of
+    mean |err_in + a_l*d_low + a_h*d_high| (the exact two-band blend
+    error: d_* = band of (err_out - err_in)). The objective is jointly
+    convex, so a coarse grid + local refinement finds the optimum to
+    refinement resolution."""
+    def sweep(als, ahs):
+        best = (0.0, 0.0, np.inf)
+        for al in als:
+            base = err_in + al * d_low
+            for ah in ahs:
+                m = float(np.abs(base + ah * d_high).mean())
+                if m < best[2]:
+                    best = (float(al), float(ah), m)
+        return best
+
+    coarse = np.linspace(0.0, 1.0, 21, dtype=np.float32)   # 0.05 steps
+    al0, ah0, _ = sweep(coarse, coarse)
+    step = 1.0 / max(grid - 1, 1)
+    fine = np.arange(-0.05, 0.05 + step / 2, step, dtype=np.float32)
+    al, ah, m = sweep(np.clip(al0 + fine, 0, 1),
+                      np.clip(ah0 + fine, 0, 1))
+    return al, ah, m
+
+
 def calibrate_blend(
         float_forward: Callable[[np.ndarray], jnp.ndarray],
         images: np.ndarray,
         stds: Sequence[float] = (0, 1, 2, 3, 5, 8, 12, 16, 20, 25,
                                  30, 40, 50, 65, 80),
         seed: int = 0,
-        alpha_grid: int = 101) -> BlendTable:
+        alpha_grid: int = 101,
+        bands: int = 1,
+        band_kernel: int = BAND_KERNEL,
+        band_nsig: float = BAND_NSIG) -> BlendTable:
     """Calibrate alpha(sigma_hat) for one artifact.
 
     float_forward: the Denoiser's ``float_forward`` (no rounding — the
@@ -150,13 +240,17 @@ def calibrate_blend(
     For each std: corrupt with the README-protocol truncated normal,
     record the mean measured sigma_hat and the MAE-optimal alpha; knots
     are (sigma_hat, alpha) pairs. Dense stds at the low end, where the
-    curve transitions."""
+    curve transitions. ``bands=2`` calibrates independent low/high-band
+    curves around the depthwise-Gaussian split (module docstring)."""
     import jax.random as jrandom
+    from ..ops.gaussian import gaussian_blur
     from ..ops.noise import corrupt_batch_fixed_std
     from ..ops.noise_estimate import estimate_sigma
 
+    if bands not in (1, 2):
+        raise ValueError(f"bands must be 1 or 2, got {bands}")
     clean = np.asarray(images, np.float32)
-    sig_knots, a_knots, records = [], [], []
+    sig_knots, a_knots, al_knots, records = [], [], [], []
     for i, std in enumerate(sorted(set(float(s) for s in stds))):
         if std > 0:
             noisy = np.clip(np.asarray(corrupt_batch_fixed_std(
@@ -167,18 +261,42 @@ def calibrate_blend(
         s_hat = float(np.asarray(estimate_sigma(
             jnp.asarray(noisy))).mean())
         den = np.asarray(float_forward(noisy), np.float32)
-        a = _optimal_alpha(noisy - clean, den - clean, alpha_grid)
+        err_in, err_out = noisy - clean, den - clean
+        rec = {"std": std, "sigma_hat": s_hat,
+               "mae_noisy": float(np.abs(err_in).mean()),
+               "mae_model": float(np.abs(err_out).mean())}
+        if bands == 1:
+            a = _optimal_alpha(err_in, err_out, alpha_grid)
+            al = None
+        else:
+            d = err_out - err_in
+            d_low = np.asarray(gaussian_blur(
+                jnp.asarray(d), (band_kernel, band_kernel),
+                (band_nsig, band_nsig)), np.float32)
+            a_lo, a, m = _optimal_alpha2(err_in, d_low, d - d_low,
+                                         alpha_grid)
+            al = a_lo
+            rec["mae_blend"] = m
+            al_knots.append(al)
         sig_knots.append(s_hat)
         a_knots.append(a)
-        records.append({"std": std, "sigma_hat": s_hat, "alpha": a,
-                        "mae_noisy": float(np.abs(noisy - clean).mean()),
-                        "mae_model": float(np.abs(den - clean).mean())})
-        logger.info(f"calibrate std {std:g}: sigma_hat {s_hat:.2f} "
-                    f"alpha* {a:.2f}")
+        rec["alpha"] = a
+        if al is not None:
+            rec["alpha_low"] = al
+        records.append(rec)
+        logger.info(
+            f"calibrate std {std:g}: sigma_hat {s_hat:.2f} alpha* {a:.2f}"
+            + (f" alpha_low* {al:.2f} mae {rec['mae_blend']:.3f}"
+               if al is not None else ""))
+    meta = {"estimator": ESTIMATOR,
+            "alpha_grid": alpha_grid,
+            "seed": seed,
+            "n_images": int(clean.shape[0]),
+            "image_hw": list(clean.shape[1:3]),
+            "levels": records}
+    if bands == 2:
+        meta["band_kernel"] = int(band_kernel)
+        meta["band_nsig"] = float(band_nsig)
     return BlendTable(sig_knots, a_knots,
-                      meta={"estimator": ESTIMATOR,
-                            "alpha_grid": alpha_grid,
-                            "seed": seed,
-                            "n_images": int(clean.shape[0]),
-                            "image_hw": list(clean.shape[1:3]),
-                            "levels": records})
+                      alpha_low_knots=al_knots if bands == 2 else None,
+                      meta=meta)

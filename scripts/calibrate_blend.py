@@ -99,6 +99,14 @@ def main():
                     help="calibration crops (round-robin over frames)")
     ap.add_argument("--platform", default=None)
     ap.add_argument("--skip-eval", action="store_true")
+    ap.add_argument("--bands", type=int, default=1, choices=(1, 2),
+                    help="2 = two-band (Gaussian-split) blend: "
+                         "independent low/high alpha curves")
+    ap.add_argument("--band-nsig", type=float, default=None,
+                    help="band-split Gaussian sigma (bands=2; default "
+                         "inference/blend.py BAND_NSIG)")
+    ap.add_argument("--band-kernel", type=int, default=None,
+                    help="band-split Gaussian kernel size (bands=2)")
     args = ap.parse_args()
 
     if args.platform:
@@ -108,10 +116,16 @@ def main():
     import blind_image_denoising_tpu as bid
     from blind_image_denoising_tpu.inference.blend import calibrate_blend
 
+    from blind_image_denoising_tpu.inference import blend as blend_mod
     den = bid.load_model(args.model, blend=False)
     cal = calibration_crops(args.limit, args.size)
     print(f"calibration crops: {cal.shape}", flush=True)
-    table = calibrate_blend(den.float_forward, cal)
+    kw = {"bands": args.bands}
+    if args.band_nsig is not None:
+        kw["band_nsig"] = args.band_nsig
+    if args.band_kernel is not None:
+        kw["band_kernel"] = args.band_kernel
+    table = calibrate_blend(den.float_forward, cal, **kw)
 
     out_dir = args.out or (bid.models[args.model]["directory"]
                            if args.model in bid.models else args.model)
@@ -133,7 +147,9 @@ def main():
     print(f"eval crops: {clean.shape}", flush=True)
 
     rows_off = readme_sweep(den, clean, "base")
-    den_blend = bid.load_model(args.model, blend=True)
+    # serve the JUST-calibrated table (not the artifact's shipped one —
+    # they differ when --out points elsewhere during experiments)
+    den_blend = bid.load_model(args.model, blend=table.to_dict())
     rows_on = readme_sweep(den_blend, clean, "blend")
 
     report = {"model": args.model, "base": rows_off, "blend": rows_on}

@@ -104,6 +104,89 @@ class TestBlendTable:
         assert list(t.alpha_knots) == [0.0, 0.4, 1.0]
 
 
+class TestTwoBandTable:
+    def test_validation(self):
+        with pytest.raises(ValueError):   # knot-count mismatch
+            BlendTable([1.0, 2.0], [0.0, 1.0], alpha_low_knots=[0.5])
+        with pytest.raises(ValueError):   # out of range
+            BlendTable([1.0, 2.0], [0.0, 1.0], alpha_low_knots=[0.0, 1.5])
+
+    def test_equal_curves_recover_global_blend(self):
+        """alpha_low == alpha collapses the band split exactly: the two
+        low-band terms and the two high-band terms re-sum to the global
+        convex combination (the split is linear)."""
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.uniform(0, 255, (2, 32, 32, 3)), jnp.float32)
+        y = jnp.asarray(rng.uniform(0, 255, (2, 32, 32, 3)), jnp.float32)
+        knots, a = [0.0, 10.0, 40.0], [0.1, 0.5, 0.9]
+        one = BlendTable(knots, a).apply(x, y)
+        two = BlendTable(knots, a, alpha_low_knots=a).apply(x, y)
+        np.testing.assert_allclose(np.asarray(two), np.asarray(one),
+                                   atol=1e-3)
+
+    def test_endpoints(self):
+        rng = np.random.default_rng(8)
+        x = jnp.asarray(rng.uniform(0, 255, (1, 24, 24, 3)), jnp.float32)
+        y = jnp.asarray(rng.uniform(0, 255, (1, 24, 24, 3)), jnp.float32)
+        zeros, ones = [0.0, 0.0], [1.0, 1.0]
+        ident = BlendTable([0.0, 99.0], zeros,
+                           alpha_low_knots=zeros).apply(x, y)
+        np.testing.assert_allclose(np.asarray(ident), np.asarray(x),
+                                   atol=1e-4)
+        model = BlendTable([0.0, 99.0], ones,
+                           alpha_low_knots=ones).apply(x, y)
+        np.testing.assert_allclose(np.asarray(model), np.asarray(y),
+                                   atol=1e-4)
+
+    def test_json_round_trip_with_band_meta(self, tmp_path):
+        t = BlendTable([1.0, 20.0], [0.3, 1.0], alpha_low_knots=[0.0, 0.8],
+                       meta={"band_kernel": 5, "band_nsig": 1.5})
+        t2 = BlendTable.from_any(t.save(str(tmp_path)))
+        np.testing.assert_allclose(t2.alpha_low_knots, t.alpha_low_knots)
+        assert t2.meta["band_nsig"] == 1.5
+        rng = np.random.default_rng(9)
+        x = jnp.asarray(rng.uniform(0, 255, (1, 16, 16, 3)), jnp.float32)
+        y = jnp.asarray(rng.uniform(0, 255, (1, 16, 16, 3)), jnp.float32)
+        np.testing.assert_allclose(np.asarray(t.apply(x, y)),
+                                   np.asarray(t2.apply(x, y)), atol=1e-4)
+
+    def test_two_band_calibration_beats_both_endpoints(self):
+        """Model whose error is PURELY low-frequency (a DC shift of the
+        clean image) under white noise: the two-band optimum takes the
+        model's (perfect) highs and the input's (nearly clean) lows,
+        beating input, model, AND any global alpha."""
+        clean = np.stack([_smooth_image(64, 64, seed=s) for s in (0, 1)])
+        shifted = np.clip(clean + 12.0, 12, 243)  # pure low-freq error
+
+        def fwd(x):
+            return jnp.asarray(shifted)
+
+        table = calibrate_blend(fwd, clean, stds=(0, 20), alpha_grid=51,
+                                bands=2, seed=11)
+        assert table.alpha_low_knots is not None
+        lv = table.meta["levels"][1]   # std=20
+        endpoint = min(lv["mae_noisy"], lv["mae_model"])
+        assert lv["mae_blend"] < 0.6 * endpoint, lv
+        # low band leans input, high band leans model
+        assert lv["alpha_low"] < 0.5 < lv["alpha"], lv
+        # std=0 collapses to identity
+        lv0 = table.meta["levels"][0]
+        assert lv0["alpha"] == 0.0 and lv0["alpha_low"] == 0.0
+
+    def test_denoiser_serves_two_band_identity_at_clean(self):
+        hydra, variables = _tiny_hydra()
+        zeros = [0.0, 0.0]
+        table = BlendTable([8.0, 12.0], [0.0, 1.0],
+                           alpha_low_knots=[0.0, 1.0])
+        d = Denoiser(hydra, variables, pad_multiple=8, blend=table)
+        clean = _smooth_image(32, 32).astype(np.uint8)
+        np.testing.assert_array_equal(d(clean), clean)
+        img = np.random.default_rng(10).integers(
+            0, 256, (2, 24, 40, 3), dtype=np.uint8)
+        out = d(img)   # uint8 any-size contract intact
+        assert out.shape == img.shape and out.dtype == np.uint8
+
+
 class TestCalibration:
     def test_identity_at_zero_model_wins_at_high(self):
         """A 'denoiser' that returns a FIXED mildly-wrong image: at
