@@ -199,8 +199,11 @@ def _optimal_alpha2(err_in: np.ndarray, d_low: np.ndarray,
     """argmin over (alpha_low, alpha_high) in [0, 1]^2 of
     mean |err_in + a_l*d_low + a_h*d_high| (the exact two-band blend
     error: d_* = band of (err_out - err_in)). The objective is jointly
-    convex, so a coarse grid + local refinement finds the optimum to
-    refinement resolution."""
+    convex; a coarse grid seeds a local window that RE-CENTERS on its own
+    argmin until the argmin is interior (or clamped at the [0,1] box), so
+    an elongated diagonal valley whose optimum sits outside the first
+    window cannot strand the search — then the window halves down to the
+    requested grid resolution."""
     def sweep(als, ahs):
         best = (0.0, 0.0, np.inf)
         for al in als:
@@ -211,12 +214,25 @@ def _optimal_alpha2(err_in: np.ndarray, d_low: np.ndarray,
                     best = (float(al), float(ah), m)
         return best
 
+    def window(center, half, step):
+        lo = np.clip(center - half, 0.0, 1.0)
+        hi = np.clip(center + half, 0.0, 1.0)
+        return np.arange(lo, hi + step / 2, step, dtype=np.float32)
+
     coarse = np.linspace(0.0, 1.0, 21, dtype=np.float32)   # 0.05 steps
-    al0, ah0, _ = sweep(coarse, coarse)
-    step = 1.0 / max(grid - 1, 1)
-    fine = np.arange(-0.05, 0.05 + step / 2, step, dtype=np.float32)
-    al, ah, m = sweep(np.clip(al0 + fine, 0, 1),
-                      np.clip(ah0 + fine, 0, 1))
+    al, ah, m = sweep(coarse, coarse)
+    target = 1.0 / max(grid - 1, 1)
+    half, step = 0.05, 0.05
+    for _ in range(64):  # bounded walk: 64 re-centers spans [0,1] twice
+        als, ahs = window(al, half, step), window(ah, half, step)
+        al, ah, m = sweep(als, ahs)
+        on_edge = ((al in (als[0], als[-1]) and 0.0 < al < 1.0) or
+                   (ah in (ahs[0], ahs[-1]) and 0.0 < ah < 1.0))
+        if on_edge:
+            continue          # valley extends past the window: re-center
+        if step <= target:
+            break             # interior at target resolution: done
+        half, step = half / 2, max(step / 2, target)
     return al, ah, m
 
 

@@ -60,6 +60,14 @@ def estimate_sigma(x: jnp.ndarray) -> jnp.ndarray:
     squeeze = x.ndim == 3
     if squeeze:
         x = x[None]
+    if x.shape[1] < 3 or x.shape[2] < 3:
+        # the 3x3 stencil has no valid support: the response would be
+        # empty and its median NaN, which BlendTable.apply would then
+        # propagate into the served output. Shapes are static under jit,
+        # so raising here is trace-time and loud.
+        raise ValueError(
+            f"estimate_sigma needs H, W >= 3 for the 3x3 stencil, got "
+            f"spatial dims {x.shape[1]}x{x.shape[2]}")
     r = laplacian_response(x.astype(jnp.float32))
     b = r.shape[0]
     mad = jnp.median(jnp.abs(r.reshape(b, -1)), axis=1)

@@ -59,6 +59,13 @@ class TestEstimator:
         b = float(estimate_sigma(x))
         assert a == pytest.approx(b, rel=1e-5)
 
+    def test_tiny_spatial_dims_raise(self):
+        # H or W < 3 leaves the 3x3 stencil without valid support; the
+        # old behavior was a NaN median that blend.apply would serve
+        for shape in ((2, 32, 3), (32, 2, 3), (1, 2, 2, 3)):
+            with pytest.raises(ValueError, match="H, W >= 3"):
+                estimate_sigma(jnp.zeros(shape))
+
 
 class TestBlendTable:
     def test_validation(self):
