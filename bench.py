@@ -1,46 +1,40 @@
-"""Benchmark: flagship denoiser inference throughput.
+"""Benchmark: flagship denoiser inference AND train-step throughput.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N}
+Prints TWO JSON lines (the driver parses the last):
+  {"metric": "..._train_step",      "value": N, "unit": "images/sec", ...}
+  {"metric": "..._256px_inference", "value": N, "unit": "images/sec", ...}
 
-The benched flagship (changed in round 3): ``unet_laplacian_v6_tpu`` —
-the packaged TPU-tuned per-level width/kernel architecture
-(w [2,3,3], k [3,5,5]; models/unet_laplacian.py). It replaces the v6
-control as flagship on measured evidence, not assertion:
-  * throughput: 1.30x the v6 control at 92% of its parameters
-    (docs/PERF.md probe table; v6 control = 493 img/s bf16 b32 @256**2
-    with this same methodology, recorded in BENCH_r02.json);
-  * quality: trained from scratch with the identical recipe/data it
-    beats the v6 control at EVERY sigma by ~5 MAE gray levels
-    (docs/TRAINING_DEMO.md round 3b) and ships as the quality-gated
-    pretrained artifact ``unet_laplacian_v6_tpu_scratch``
-    (tests/test_pretrained.py::test_shipped_tpu_flagship_kitti_gate).
-The baseline below stays the reference's OWN flagship (its
-model_builder, unet_laplacian_v6 config) on this machine's CPU: the
-reference builder only accepts scalar width/kernel_size
-(/root/reference/bfcnn/backbone_unet_laplacian.py:38-41), so the
-per-level variant does not exist there to measure.
+The benched flagship: ``unet_laplacian_v6_tpu`` — the packaged TPU-tuned
+per-level width/kernel architecture (w [2,3,3], k [3,5,5];
+models/unet_laplacian.py); promoted on measured evidence in round 3
+(docs/PERF.md probe table, docs/TRAINING_DEMO.md round 3b) and shipped as
+the quality-gated artifact ``unet_laplacian_v6_tpu_scratch``.
 
-Methodology (IMPORTANT — changed in round 2): K model applications are
-chained inside ONE jitted program via lax.scan (each iteration consumes
-the previous output) reduced to a scalar, and the wall time difference
-between a K=30 and a K=10 program — each fetched with device_get, which
-truly blocks — gives the per-batch compute time with constant overheads
-cancelled. Plain dispatch-loop timing with block_until_ready is NOT valid
-through this environment's TPU tunnel: block_until_ready returns before
-remote execution completes, so such loops measure the ENQUEUE rate
-(observed up to 1.45M "img/s", i.e. nonsense). Round-1 numbers recorded
-that way (55,962 driver-captured; 77,980 in earlier docs) were enqueue
-artifacts; the honest steady-state compute number on one v5e chip is
-~400 img/s bf16 @256² — still >140x the measured TF-CPU baseline.
+Methodology (round 5 — VERDICT r4 #2): K model applications are chained
+inside ONE jitted ``lax.scan`` reduced to a scalar and fetched with
+``device_get`` (the only true barrier through this environment's TPU
+tunnel — ``block_until_ready`` returns at ENQUEUE time; round-1 numbers
+of 55k img/s were that artifact). Per-batch time is now the
+LEAST-SQUARES SLOPE over >= 3 K values using per-K minimum times, with a
+spread reported across repeats, instead of the round-2..4 two-point
+K-differencing whose K1 minimum could be load-biased high and inflate
+the result arbitrarily — BENCH_r04's 1085 img/s exceeded this model's
+own ≈794 img/s HBM roofline exactly that way. Every result is
+cross-checked against the XLA-cost-analysis byte roofline
+(blind_image_denoising_tpu/benchmarking.py): claims above 110% of
+bandwidth/bytes are flagged as measurement errors, never reported as
+wins.
 
-The reference publishes no throughput numbers (SURVEY §6); the baseline
-below is the reference's OWN model (its model_builder, unet_laplacian_v6
-config) measured on this machine's CPU.
+The reference publishes no throughput numbers (SURVEY §6). Baselines:
+* inference: the reference's OWN model (its model_builder,
+  unet_laplacian_v6 config) measured on this machine's CPU;
+* train step: no reference number exists on any hardware — the baseline
+  is this repo's round-2 measured flagship device ceiling (33.7 ms at
+  128²x16 bf16 = 474.8 img/s, docs/PERF.md), so cross-round regressions
+  in the fused step are visible in BENCH_r{N}.json (VERDICT r4 #9).
 """
 
 import json
-import time
 
 import numpy as np
 
@@ -49,10 +43,14 @@ import numpy as np
 # graph, batch 8 @256²: 2.69 img/s (2979 ms/batch). With jit_compile=True
 # (XLA-CPU, what the reference's DenoiserModule uses) it is far slower:
 # 0.37 img/s. We quote the faster plain-graph number as the baseline.
-BASELINE_IMAGES_PER_SEC = 2.69
+BASELINE_INFER_IMAGES_PER_SEC = 2.69
+# repo round-2 train-step ceiling (docs/PERF.md): 16 images / 33.7 ms
+BASELINE_TRAIN_IMAGES_PER_SEC = 474.8
 
-BATCH = 32
-K1, K2 = 10, 30
+INFER_BATCH, INFER_SIZE = 32, 256
+TRAIN_BATCH, TRAIN_SIZE = 16, 128
+K_VALUES = (5, 15, 30)
+REPS = 5
 
 
 def _acquisition_watchdog(timeout_s: int = 900):
@@ -85,24 +83,43 @@ def _acquisition_watchdog(timeout_s: int = 900):
     return acquired
 
 
-def main():
-    acquired = _acquisition_watchdog()
-    import jax
-    jax.devices()
-    acquired.set()
+def _emit(metric, baseline, result, roof, extra=None):
+    lo, hi = result["slope_spread_s"]
+    batch = extra.pop("batch")
+    line = {
+        "metric": metric,
+        "value": round(batch / result["unit_s"], 2),
+        "unit": "images/sec",
+        "vs_baseline": round(batch / result["unit_s"] / baseline, 2),
+        "spread": [round(batch / hi, 2), round(batch / lo, 2)],
+        "r2": round(result["r2"], 5),
+        "roofline": (round(batch / roof["roofline_unit_s"], 2)
+                     if roof["roofline_unit_s"] > 0 else None),
+        "roofline_ok": roof["ok"] if roof["roofline_unit_s"] > 0 else None,
+    }
+    if extra:
+        line.update(extra)
+    if roof["roofline_unit_s"] > 0 and not roof["ok"]:
+        line["error"] = (
+            f"measured {line['value']} img/s exceeds 110% of the HBM byte "
+            f"roofline ({line['roofline']} img/s) — measurement error "
+            f"(docs/PERF.md: this model runs AT the HBM limit)")
+    print(json.dumps(line), flush=True)
+    return line
+
+
+def bench_inference(jax, cfg):
     import jax.numpy as jnp
     from jax import lax
-    import blind_image_denoising_tpu as bid
+    from blind_image_denoising_tpu import benchmarking as bm
     from blind_image_denoising_tpu.models.hydra import model_builder
 
-    cfg = bid.CONFIGS_DICT["unet_laplacian_v6_tpu"]
-    # bfloat16 compute: MXU-native on TPU (measured 1.49x over f32 at b32
-    # with honest timing); params stay f32
-    results = model_builder(cfg["model"], dtype=jnp.bfloat16)
-    hydra = results.hydra
-
+    # bfloat16 compute: MXU/VPU-native, halves HBM bytes (measured 1.49x
+    # over f32 at b32 with honest timing); params stay f32
+    hydra = model_builder(cfg["model"], dtype=jnp.bfloat16).hydra
     x = jnp.asarray(
-        np.random.default_rng(0).uniform(0, 255, (BATCH, 256, 256, 3))
+        np.random.default_rng(0)
+        .uniform(0, 255, (INFER_BATCH, INFER_SIZE, INFER_SIZE, 3))
         .astype(np.float32))
     # init at a tiny spatial size: fully-convolutional param shapes are
     # size-independent and the small init compiles minutes faster cold
@@ -119,26 +136,93 @@ def main():
             return y.sum()
         return jax.jit(chain)
 
-    def timed(f, reps=5):
-        float(f(variables, x))  # compile + warm
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            float(f(variables, x))  # device_get: truly blocks
-            best = min(best, time.perf_counter() - t0)
-        return best
+    result = bm.time_chain_slope(make_chain, (variables, x),
+                                 k_values=K_VALUES, reps=REPS)
+    single = jax.jit(lambda v, i: hydra.apply(v, i, train=False)[0])
+    roof = bm.roofline_check(result["unit_s"],
+                             bm.cost_bytes(single, variables, x))
+    return _emit("unet_laplacian_v6_tpu_256px_inference",
+                 BASELINE_INFER_IMAGES_PER_SEC, result, roof,
+                 {"batch": INFER_BATCH})
 
-    t1 = timed(make_chain(K1))
-    t2 = timed(make_chain(K2))
-    per_batch = (t2 - t1) / (K2 - K1)
-    images_per_sec = BATCH / per_batch
 
-    print(json.dumps({
-        "metric": "unet_laplacian_v6_tpu_256px_inference",
-        "value": round(images_per_sec, 2),
-        "unit": "images/sec",
-        "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 2),
-    }))
+def bench_train_step(jax, cfg):
+    """Fused train step (fwd + per-scale hinged losses + bwd + Adam update
+    + on-device noise), flagship bf16 @128²x16 — the PERF.md protocol."""
+    import jax.numpy as jnp
+    from jax import lax
+    from blind_image_denoising_tpu import benchmarking as bm
+    from blind_image_denoising_tpu.models.hydra import model_builder
+    from blind_image_denoising_tpu.training import (
+        build_train_step, create_train_state, loss_function_builder,
+        optimizer_builder)
+
+    hydra = model_builder(cfg["model"], dtype=jnp.bfloat16).hydra
+    loss_fns = loss_function_builder(cfg["loss"])
+    tx, _ = optimizer_builder(cfg["train"]["optimizer"])
+    sample = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    state = create_train_state(hydra, tx, jax.random.PRNGKey(0), sample)
+    no_outputs = len(hydra.apply(
+        {"params": state.params, **({"batch_stats": state.batch_stats}
+                                    if state.batch_stats else {})},
+        sample, train=False))
+    ds = cfg["dataset"]
+    step_fn = build_train_step(
+        hydra, tx, loss_fns, no_outputs=no_outputs,
+        additive_noise=ds.get("additional_noise"),
+        multiplicative_noise=ds.get("multiplicative_noise"),
+        random_left_right=ds.get("random_left_right", True),
+        random_up_down=ds.get("random_up_down", True),
+        round_values=ds.get("round_values", True),
+        grad_accum=1)
+
+    batch = jnp.asarray(
+        np.random.default_rng(1)
+        .uniform(0, 255, (TRAIN_BATCH, TRAIN_SIZE, TRAIN_SIZE, 3))
+        .astype(np.float32))
+    dw = jnp.ones((no_outputs,), jnp.float32) / no_outputs
+
+    def make_chain(k):
+        def chain(st, b):
+            def body(carry, i):
+                st, key = carry
+                key, sub = jax.random.split(key)
+                st, _ = step_fn(st, b, sub, dw)
+                return (st, key), None
+            (st, _), _ = lax.scan(body, (st, jax.random.PRNGKey(7)),
+                                  jnp.arange(k))
+            return jax.tree_util.tree_reduce(
+                lambda a, p: a + p.astype(jnp.float32).sum(),
+                st.params, jnp.zeros((), jnp.float32))
+        return jax.jit(chain)
+
+    result = bm.time_chain_slope(make_chain, (state, batch),
+                                 k_values=K_VALUES, reps=REPS)
+    single = jax.jit(
+        lambda st, b: step_fn(st, b, jax.random.PRNGKey(7), dw)[0].step)
+    roof = bm.roofline_check(result["unit_s"],
+                             bm.cost_bytes(single, state, batch))
+    return _emit("unet_laplacian_v6_tpu_128px_train_step",
+                 BASELINE_TRAIN_IMAGES_PER_SEC, result, roof,
+                 {"batch": TRAIN_BATCH,
+                  "baseline_note": "repo round-2 device ceiling "
+                                   "(33.7 ms/step, docs/PERF.md) — the "
+                                   "reference publishes no train "
+                                   "throughput on any hardware"})
+
+
+def main():
+    acquired = _acquisition_watchdog()
+    import jax
+    jax.devices()
+    acquired.set()
+    import blind_image_denoising_tpu as bid
+
+    cfg = bid.CONFIGS_DICT["unet_laplacian_v6_tpu"]
+    # train line first; the INFERENCE line stays last (the driver parses
+    # the final line, keeping the metric series comparable across rounds)
+    bench_train_step(jax, cfg)
+    bench_inference(jax, cfg)
 
 
 if __name__ == "__main__":

@@ -217,7 +217,10 @@ def _optimal_alpha2(err_in: np.ndarray, d_low: np.ndarray,
     def window(center, half, step):
         lo = np.clip(center - half, 0.0, 1.0)
         hi = np.clip(center + half, 0.0, 1.0)
-        return np.arange(lo, hi + step / 2, step, dtype=np.float32)
+        # arange's endpoint slack can overshoot hi — clip back into the
+        # box, or the sweep returns an alpha slightly above 1.0
+        return np.clip(np.arange(lo, hi + step / 2, step,
+                                 dtype=np.float32), 0.0, 1.0)
 
     coarse = np.linspace(0.0, 1.0, 21, dtype=np.float32)   # 0.05 steps
     al, ah, m = sweep(coarse, coarse)

@@ -47,6 +47,13 @@ def resolve_compute_dtype(dtype, config: Optional[dict] = None):
     input dtype, which the serving path feeds as f32)."""
     if dtype is None and config is not None:
         dtype = config.get("tpu", {}).get("compute_dtype")
+        if dtype is not None and str(dtype).lower() not in (
+                "float32", "f32", "fp32"):
+            # honoring the artifact's trained dtype changes outputs vs a
+            # pre-round-4 f32 default — one attributable line (ADVICE r4)
+            logger.info(
+                f"serving in the artifact's trained compute dtype "
+                f"[{dtype}] (pass dtype='float32' to override)")
     if dtype is None:
         return None
     if isinstance(dtype, str):
@@ -299,6 +306,12 @@ def _resolve_blend(directory: Path, blend):
                     f"scripts/calibrate_blend.py "
                     f"(docs/QUALITY_BENCHMARK.md)")
             return None
+        if blend is None:
+            # auto-activation changes outputs vs pre-blend releases of
+            # the same artifact — say so, so numeric drift is attributable
+            logger.info(
+                f"serving the artifact's calibrated noise-adaptive blend "
+                f"[{path}] (pass blend=False for the raw model output)")
         return BlendTable.from_any(str(path))
     return BlendTable.from_any(blend)
 

@@ -273,7 +273,11 @@ def inpaint_dropout(key: jax.Array, batch: jnp.ndarray,
 
     ``prob`` gates the degradation PER SAMPLE like the other ops
     (default 1.0 keeps the deterministic semantics the evaluate
-    harness's corruption chains rely on). The round-4a restoration run
+    harness's corruption chains rely on — deterministic per key, though
+    NOT bit-identical to pre-round-4 builds: adding the gate moved the
+    mask onto a split subkey, so a given key now draws a different hole
+    pattern than it did before the ``prob`` parameter existed). The
+    round-4a restoration run
     showed why the gate matters in training: ungated holes on 100% of
     samples drive the MAE-optimal estimator toward heavy spatial
     filtering everywhere, degrading every other task

@@ -58,7 +58,11 @@ def main():
     print(f"model={args.model}  frames={clean.shape[0]}  crop=256x256  "
           f"platform={args.platform}  dtype={args.dtype or 'artifact'}")
 
-    plain = bid.load_model(args.model, dtype=args.dtype)
+    # blend=False: every operating point must differ ONLY in TTA members.
+    # load_model auto-serves a shipped blend.json, but the m>1 denoisers
+    # below are built directly (no blend) — a blended m=1 baseline would
+    # corrupt the frontier, especially at low sigma (ADVICE r4)
+    plain = bid.load_model(args.model, dtype=args.dtype, blend=False)
     if not isinstance(plain, Denoiser):
         raise SystemExit(
             f"--model {args.model} loaded as {type(plain).__name__}; the "

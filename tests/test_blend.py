@@ -59,6 +59,29 @@ class TestEstimator:
         b = float(estimate_sigma(x))
         assert a == pytest.approx(b, rel=1e-5)
 
+    def test_optimal_alpha2_stays_in_box(self):
+        # boundary optimum: the refinement window must never return an
+        # alpha outside [0, 1] (the r5 regression: arange endpoint slack
+        # overshot 1.0 and BlendTable validation rejected the whole table)
+        from blind_image_denoising_tpu.inference.blend import _optimal_alpha2
+        err_in = np.ones((4, 8, 8, 3), np.float32)
+        al, ah, m = _optimal_alpha2(err_in, -0.5 * err_in, -0.4 * err_in,
+                                    grid=101)
+        assert 0.0 <= al <= 1.0 and 0.0 <= ah <= 1.0
+        assert al == pytest.approx(1.0) and ah == pytest.approx(1.0)
+        assert m == pytest.approx(0.1, abs=1e-5)
+
+    def test_optimal_alpha2_walks_past_first_window(self):
+        # an interior optimum farther than one coarse window from the
+        # coarse argmin is still found (the iterate-refinement fix)
+        from blind_image_denoising_tpu.inference.blend import _optimal_alpha2
+        rng = np.random.default_rng(0)
+        e = rng.normal(0, 1, (2, 16, 16, 3)).astype(np.float32)
+        # err(al, ah) minimized exactly at al=0.37, ah=0.61
+        err_in = (0.37 * e) + (0.61 * e)
+        al, ah, m = _optimal_alpha2(err_in, -e, -e, grid=101)
+        assert al + ah == pytest.approx(0.98, abs=0.02)
+
     def test_tiny_spatial_dims_raise(self):
         # H or W < 3 leaves the 3x3 stencil without valid support; the
         # old behavior was a NaN median that blend.apply would serve
