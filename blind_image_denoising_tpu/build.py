@@ -1,6 +1,8 @@
 """Build CLI: construct a hydra from a config and save an inspectable
-summary + randomly-initialized params
-(reference bfcnn/build.py:21-64 saves a .keras file for netron)."""
+summary + randomly-initialized params; ``--keras`` additionally emits a
+``model_hydra.keras`` archive (the reference build artifact —
+bfcnn/build.py:21-64 / constants.py:32 — for netron inspection and
+Keras-ecosystem consumption; inference/keras_export.py)."""
 
 import argparse
 import json
@@ -25,6 +27,10 @@ def main(argv=None) -> int:
                         help="force a jax platform (e.g. cpu) — the "
                              "environment's TPU plugin ignores "
                              "JAX_PLATFORMS")
+    parser.add_argument("--keras", action="store_true",
+                        help="also emit model_hydra.keras (the reference "
+                             "build artifact; needs TensorFlow, ~30 s "
+                             "import)")
     args = parser.parse_args(argv)
 
     if args.platform:
@@ -50,6 +56,11 @@ def main(argv=None) -> int:
         json.dump(summary, f, indent=2)
     n = sum(a.size for a in jax.tree_util.tree_leaves(variables["params"]))
     logger.info(f"built hydra: {n/1e3:.1f}k params → {out}")
+
+    if args.keras:
+        from .inference.keras_export import KERAS_FILE, save_hydra_keras
+        save_hydra_keras(config["model"], variables,
+                         str(out / KERAS_FILE))
     return 0
 
 

@@ -83,6 +83,7 @@ def export_model(
         output_directory: Union[str, Path],
         to_stablehlo: bool = True,
         to_tflite: bool = False,
+        to_keras: bool = False,
         test_model: bool = False,
         reference_shape=(1, 256, 256, 3),
         quantize: bool = False,
@@ -166,6 +167,14 @@ def export_model(
         with open(out_dir / TFLITE_FILE, "wb") as f:
             f.write(blob)
         logger.info(f"wrote {out_dir / TFLITE_FILE} ({len(blob)} bytes)")
+
+    if to_keras:
+        # the reference export also saves the hydra as model_hydra.keras
+        # (reference export_model.py:106-110)
+        from .keras_export import KERAS_FILE, save_hydra_keras
+        save_hydra_keras(config["model"], variables,
+                         str(out_dir / KERAS_FILE),
+                         channels=int(shape[2]))
 
     if test_model:
         denoiser = load_exported_model(out_dir)
