@@ -265,13 +265,22 @@ class Denoiser:
         y = self._float_pipeline(x)
         return y[0] if squeeze else y
 
-    def __call__(self, image) -> np.ndarray:
-        """image: uint8/float [H, W, C] or [B, H, W, C]; returns same rank.
-        """
+    def dispatch(self, image):
+        """Enqueue the serving program WITHOUT forcing the result back to
+        host: returns the device array (np.asarray(...) completes it).
+        This is the pipelining seam the batching frontend uses to keep
+        multiple batches in flight — dispatch returns at enqueue time
+        while the previous batch still computes/transfers (serving.py
+        pipeline; docs/SERVING.md)."""
         if self._jitted_e2e is not None:
             # uint8 in → uint8 out in one fused program; jit specializes
             # (and caches) per input shape/dtype
-            return np.asarray(self._jitted_e2e(np.asarray(image)))
+            return self._jitted_e2e(np.asarray(image))
         # multi-chip spatial path: eager orchestration around the
         # shard_map'd halo forward
-        return np.asarray(self._e2e(jnp.asarray(image)))
+        return self._e2e(jnp.asarray(image))
+
+    def __call__(self, image) -> np.ndarray:
+        """image: uint8/float [H, W, C] or [B, H, W, C]; returns same rank.
+        """
+        return np.asarray(self.dispatch(image))

@@ -51,10 +51,24 @@ class BatchingDenoiser:
     """
 
     def __init__(self, denoiser: Callable, max_batch: int = 32,
-                 max_wait_ms: float = 5.0, pad_batches: bool = True):
+                 max_wait_ms: float = 5.0, pad_batches: bool = True,
+                 pipeline_depth: int = 2):
         self._denoiser = denoiser
         self._max_batch = int(max_batch)
         self._max_wait = float(max_wait_ms) / 1e3
+        # pipeline_depth: how many dispatched batches may be in flight
+        # between the dispatch and fetch stages. The round-4 batcher was
+        # synchronous — it blocked on the device fetch before collecting
+        # the next batch, so through the TPU tunnel every batch paid
+        # transfer + round-trip IN SERIES with compute. With a Denoiser
+        # (which exposes ``dispatch``: enqueue without forcing), batch
+        # N+1's host work and device upload overlap batch N's compute +
+        # download; depth 2 suffices to hide either side (docs/SERVING.md
+        # round-5 decomposition). Plain callables still overlap batch
+        # FORMING with execution. depth <= 1 keeps a strict one-in-flight
+        # pipeline (the round-4 behavior, minus its collect stall).
+        self._depth = max(1, int(pipeline_depth))
+        self._inflight: "queue.Queue" = queue.Queue(maxsize=self._depth)
         # pad_batches: round every formed batch UP to a power-of-two
         # bucket (repeating the last image; extra outputs discarded).
         # Without this every distinct batch size is a fresh XLA
@@ -71,14 +85,19 @@ class BatchingDenoiser:
         self._backlog: "collections.deque[_Pending]" = collections.deque()
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._run, daemon=True)
+        self._fetcher = threading.Thread(target=self._fetch_loop,
+                                         daemon=True)
         self._worker.start()
+        self._fetcher.start()
 
     def close(self):
-        """Stop the worker and fail any still-queued requests (callers
+        """Stop the workers and fail any still-queued requests (callers
         blocked in __call__ get a RuntimeError instead of hanging)."""
         self._stop.set()
-        self._q.put(None)   # wake the worker if it is blocked on get()
+        self._q.put(None)   # wake the dispatcher if blocked on get()
         self._worker.join(timeout=10.0)
+        self._inflight.put(None)   # wake the fetcher after the dispatcher
+        self._fetcher.join(timeout=10.0)
         self._fail_pending(RuntimeError("BatchingDenoiser is closed"))
 
     def _fail_pending(self, err: BaseException) -> None:
@@ -91,6 +110,13 @@ class BatchingDenoiser:
                 break
             if p is not None:
                 pending.append(p)
+        while True:
+            try:
+                item = self._inflight.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None:
+                pending.extend(item[0])
         for p in pending:
             p.error = err
             p.event.set()
@@ -178,6 +204,15 @@ class BatchingDenoiser:
         return batch
 
     def _run(self):
+        """Dispatch stage: form batches and ENQUEUE them on the device.
+
+        With a ``dispatch``-capable denoiser (inference/denoiser.py) the
+        call returns at enqueue time, so up to ``pipeline_depth`` batches
+        overlap on the device/tunnel while this thread forms the next;
+        the fetch stage completes them in order. A plain callable runs
+        in the FETCH stage instead (still overlapping batch forming with
+        execution)."""
+        dispatch = getattr(self._denoiser, "dispatch", None)
         while not self._stop.is_set():
             batch = self._collect()
             if not batch:
@@ -192,10 +227,32 @@ class BatchingDenoiser:
                     if bucket > n:
                         fill = np.repeat(stacked[-1:], bucket - n, axis=0)
                         stacked = np.concatenate([stacked, fill], axis=0)
-                out = np.asarray(self._denoiser(stacked))
+                pending = dispatch(stacked) if dispatch is not None \
+                    else stacked
+            except BaseException as e:  # deliver the failure to callers
+                for p in batch:
+                    p.error = e
+                    p.event.set()
+                continue
+            # blocks when `pipeline_depth` batches are already in
+            # flight — the backpressure that bounds device/host memory
+            self._inflight.put((batch, pending))
+
+    def _fetch_loop(self):
+        """Fetch stage: force each in-flight batch back to host and
+        answer its requests."""
+        dispatch = getattr(self._denoiser, "dispatch", None)
+        while True:
+            item = self._inflight.get()
+            if item is None:
+                return
+            batch, pending = item
+            try:
+                out = np.asarray(pending) if dispatch is not None \
+                    else np.asarray(self._denoiser(pending))
                 for i, p in enumerate(batch):
                     p.result = out[i]
-            except BaseException as e:  # deliver the failure to callers
+            except BaseException as e:
                 for p in batch:
                     p.error = e
             finally:
@@ -254,6 +311,10 @@ def main(argv=None) -> int:
     parser.add_argument("--port", default=8000, type=int)
     parser.add_argument("--max-batch", default=32, type=int)
     parser.add_argument("--max-wait-ms", default=5.0, type=float)
+    parser.add_argument("--pipeline-depth", default=2, type=int,
+                        help="dispatched batches in flight between the "
+                             "dispatch and fetch stages (1 = strict "
+                             "one-at-a-time; docs/SERVING.md)")
     parser.add_argument("--platform", default=None,
                         help="force a jax platform (the TPU plugin ignores "
                              "JAX_PLATFORMS)")
@@ -290,7 +351,8 @@ def main(argv=None) -> int:
                                               dtype=args.dtype,
                                               blend=args.blend),
                                max_batch=args.max_batch,
-                               max_wait_ms=args.max_wait_ms)
+                               max_wait_ms=args.max_wait_ms,
+                               pipeline_depth=args.pipeline_depth)
     if args.warm_shape:
         shape = tuple(int(v) for v in args.warm_shape.split(","))
         logger.info(f"warming batch buckets for shape {shape}")

@@ -163,8 +163,10 @@ def test_minority_shape_not_starved_by_majority_flood():
 
 
 def test_close_unblocks_queued_callers():
-    """close() must fail still-queued requests instead of stranding their
-    threads forever, and later calls must raise immediately."""
+    """close() must never strand a caller: every request issued before
+    close() either completes (the pipelined batcher drains batches it
+    already dispatched — round-5 semantics) or fails with a clean
+    RuntimeError; calls after close() raise immediately."""
     import time
 
     release = threading.Event()
@@ -173,16 +175,18 @@ def test_close_unblocks_queued_callers():
         release.wait(timeout=5)
         return batch
 
-    b = BatchingDenoiser(gated_model, max_batch=1, max_wait_ms=1.0)
-    errors = []
+    b = BatchingDenoiser(gated_model, max_batch=1, max_wait_ms=1.0,
+                         pipeline_depth=1)
+    outcomes = []
 
     def call():
         try:
-            b(np.zeros((8, 8, 3), np.uint8))
+            outcomes.append(("ok", b(np.zeros((8, 8, 3), np.uint8))))
         except BaseException as e:
-            errors.append(e)
+            outcomes.append(("err", e))
 
-    # first request occupies the worker inside gated_model; the rest queue
+    # first request occupies the fetch stage inside gated_model; the
+    # rest fill the pipeline / queue behind it
     t1 = threading.Thread(target=call)
     t1.start()
     time.sleep(0.1)
@@ -194,15 +198,18 @@ def test_close_unblocks_queued_callers():
     closer = threading.Thread(target=b.close)
     closer.start()
     time.sleep(0.1)
-    release.set()   # let the in-flight batch finish
+    release.set()   # let the gated batches finish
     closer.join(timeout=15)
     t1.join(timeout=5)
     for t in queued:
         t.join(timeout=5)
     assert not any(t.is_alive() for t in queued), "queued caller stranded"
-    # the in-flight request succeeded; the queued ones got clean errors
-    assert len(errors) == 3
-    assert all(isinstance(e, RuntimeError) for e in errors)
+    assert len(outcomes) == 4
+    for kind, val in outcomes:
+        if kind == "ok":
+            assert val.shape == (8, 8, 3)
+        else:
+            assert isinstance(val, RuntimeError)
 
     with pytest.raises(RuntimeError, match="closed"):
         b(np.zeros((8, 8, 3), np.uint8))
@@ -233,3 +240,59 @@ def test_batching_over_tta_denoiser_exact():
     b.close()
     for img, got in zip(imgs, results):
         np.testing.assert_array_equal(got, tta(img))
+
+
+def test_pipeline_overlaps_dispatched_batches():
+    """With a dispatch-capable denoiser (the Denoiser seam), the batcher
+    keeps `pipeline_depth` batches in flight: N batches of device time T
+    complete in ~T + N*epsilon wall, not N*T (the round-4 synchronous
+    batcher's serial floor). Fake device: dispatch() starts the work on
+    a thread, np.asarray() joins it — the same enqueue/force split the
+    real Denoiser exposes."""
+    import time
+
+    T = 0.15
+
+    class _Handle:
+        def __init__(self, batch):
+            self._out = None
+
+            def work():
+                time.sleep(T)
+                self._out = batch
+
+            self._t = threading.Thread(target=work)
+            self._t.start()
+
+        def __array__(self, dtype=None, copy=None):
+            self._t.join()
+            return self._out
+
+    class _FakeDeviceDenoiser:
+        def dispatch(self, batch):
+            return _Handle(batch)
+
+        def __call__(self, batch):
+            return np.asarray(self.dispatch(batch))
+
+    b = BatchingDenoiser(_FakeDeviceDenoiser(), max_batch=1,
+                         max_wait_ms=0.5, pipeline_depth=4)
+    try:
+        n = 4
+        results = [None] * n
+        threads = [threading.Thread(
+            target=lambda i=i: results.__setitem__(
+                i, b(np.full((4, 4, 3), i, np.uint8)))) for i in range(n)]
+        t0 = time.monotonic()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=10)
+        wall = time.monotonic() - t0
+        for i, r in enumerate(results):
+            assert r is not None and int(r[0, 0, 0]) == i
+        # serial floor is n*T = 0.6 s; pipelined should be ~T plus
+        # scheduling slack. 2.5*T is a generous single-core bound.
+        assert wall < 2.5 * T, f"no overlap: {n} batches took {wall:.3f}s"
+    finally:
+        b.close()
