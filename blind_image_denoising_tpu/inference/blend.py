@@ -167,7 +167,17 @@ class BlendTable:
     def apply(self, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
         """Blend model output y toward input x by the calibrated
         per-image weight(s). x, y: [B, H, W, C] float32 in [0, 255]."""
+        from jax import lax
         from ..ops.noise_estimate import estimate_sigma
+        # WORKAROUND (round 5): when the serving program converts a
+        # uint8 input and feeds it STRAIGHT into this blend's ops, the
+        # axon TPU backend miscompiles the fused convert(+conv) — the
+        # served two-band output measured MAE 81.6 vs the correct 3.5
+        # on identical inputs (bisect: uint8-in/float-out broken,
+        # float-in/uint8-out correct, barrier'd uint8 correct,
+        # CPU always correct). The barrier pins x as a materialized f32
+        # value; it is the identity (and differentiable) otherwise.
+        x = lax.optimization_barrier(x)
         s_hat = estimate_sigma(x)
         shape = (-1,) + (1,) * (y.ndim - 1)
         a = self.alpha(s_hat).reshape(shape).astype(y.dtype)

@@ -60,6 +60,49 @@ def drive(batcher, n_threads: int, seconds: float, shapes):
     }
 
 
+def decompose(den, batch: int = 32, reps: int = 8):
+    """Where does a serving batch's wall time go (VERDICT r4 #6)?
+
+    * sync_batch_ms: one synchronous den(batch) — upload + compute +
+      download + host, all in series (the round-4 batcher's unit cost);
+    * pipelined_ms: the same work with a 2-deep dispatch/force pipeline
+      (the round-5 batcher's unit cost) — the difference is the tunnel/
+      host time the pipeline hides;
+    * host_stack_ms: forming the batch on host (np.stack + pad), the
+      only part that cannot overlap a caller's own request.
+    """
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 256, (batch,) + SHAPE, dtype=np.uint8)
+    den(x)  # compile + warm
+
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        den(x)
+    sync_ms = (time.perf_counter() - t0) / reps * 1e3
+
+    # 2-deep software pipeline over the dispatch/force seam
+    t0 = time.perf_counter()
+    pending = [den.dispatch(x), den.dispatch(x)]
+    for _ in range(reps - 2):
+        np.asarray(pending.pop(0))
+        pending.append(den.dispatch(x))
+    for p in pending:
+        np.asarray(p)
+    pipe_ms = (time.perf_counter() - t0) / reps * 1e3
+
+    imgs = [x[i] for i in range(batch)]
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        np.stack(imgs, axis=0)
+    stack_ms = (time.perf_counter() - t0) / reps * 1e3
+
+    return {"sync_batch_ms": round(sync_ms, 1),
+            "pipelined_ms": round(pipe_ms, 1),
+            "host_stack_ms": round(stack_ms, 2),
+            "sync_img_s": round(batch / (sync_ms / 1e3), 1),
+            "pipelined_img_s": round(batch / (pipe_ms / 1e3), 1)}
+
+
 def main():
     import jax
     import blind_image_denoising_tpu as bid
@@ -83,12 +126,28 @@ def main():
     print("warmup done", flush=True)
 
     results = {"model": model, "dtype": dtype or "artifact"}
+
+    # where a batch's wall time goes (sync vs pipelined vs host)
+    results["decompose_b32"] = decompose(den)
+    print(json.dumps({"decompose_b32": results["decompose_b32"]}),
+          flush=True)
+
     for conc in (1, 8, 32):
         batcher = BatchingDenoiser(den, max_batch=32, max_wait_ms=5.0)
         r = drive(batcher, conc, 20.0, [SHAPE])
         batcher.close()
         results[f"conc_{conc}"] = r
         print(json.dumps({f"conc_{conc}": r}), flush=True)
+
+    # pipeline-depth sweep at full concurrency (depth 1 = the round-4
+    # synchronous behavior minus its collect stall)
+    for depth in (1, 2, 4):
+        batcher = BatchingDenoiser(den, max_batch=32, max_wait_ms=5.0,
+                                   pipeline_depth=depth)
+        r = drive(batcher, 32, 15.0, [SHAPE])
+        batcher.close()
+        results[f"depth_{depth}"] = r
+        print(json.dumps({f"depth_{depth}": r}), flush=True)
 
     # mixed-shape traffic: alternating buckets must still batch same-shape
     batcher = BatchingDenoiser(den, max_batch=32, max_wait_ms=5.0)
