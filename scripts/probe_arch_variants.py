@@ -1,6 +1,8 @@
 """Architectural VPU-reduction probe: flagship config variants, measured
-with the scan-chain K-differencing methodology (see bench.py — dispatch
-loops lie through the TPU tunnel).
+with the scan-chain multi-K LEAST-SQUARES-SLOPE methodology
+(blind_image_denoising_tpu/benchmarking.py — dispatch loops lie through
+the TPU tunnel, and two-point K-differencing can inflate, VERDICT r4 #2;
+every row is roofline-checked against its own XLA byte count).
 
 The flagship (unet_laplacian_v6) is VPU-elementwise-bound concurrently
 with ~80% HBM utilization (docs/PERF.md, docs/QUANTIZATION.md): the
@@ -15,14 +17,13 @@ Run: python scripts/probe_arch_variants.py   (holds the TPU; single-tenant)
 import copy
 import json
 import sys
-import time
 
 import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
 BATCH = 32
-K1, K2 = 10, 30
+K_VALUES = (5, 15, 30)
 SIZE = 256
 
 
@@ -53,18 +54,10 @@ def measure(cfg_model, label):
             return y.sum()
         return jax.jit(chain)
 
-    def timed(f, reps=5):
-        float(f(variables, x))
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            float(f(variables, x))
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    t1 = timed(make_chain(K1))
-    t2 = timed(make_chain(K2))
-    per_batch = (t2 - t1) / (K2 - K1)
+    from blind_image_denoising_tpu import benchmarking as bm
+    result = bm.time_chain_slope(make_chain, (variables, x),
+                                 k_values=K_VALUES, reps=5)
+    per_batch = result["unit_s"]
     ips = BATCH / per_batch
 
     # byte/flop profile of the single-apply executable
@@ -74,9 +67,15 @@ def measure(cfg_model, label):
         cost = cost[0]
     gb = cost.get("bytes accessed", 0) / 1e9
     gflop = cost.get("flops", 0) / 1e9
+    roof = bm.roofline_check(per_batch, gb * 1e9)
 
+    lo, hi = result["slope_spread_s"]
     row = {"label": label, "img_per_s": round(ips, 1),
+           "img_per_s_spread": [round(BATCH / hi, 1), round(BATCH / lo, 1)],
+           "r2": round(result["r2"], 5),
            "ms_per_batch": round(per_batch * 1e3, 2),
+           "roofline_img_per_s": round(BATCH / roof["roofline_unit_s"], 1),
+           "roofline_ok": roof["ok"],
            "params": n_params, "GB": round(gb, 2), "GFLOP": round(gflop, 1)}
     print(json.dumps(row), flush=True)
     return row
