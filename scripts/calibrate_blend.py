@@ -65,16 +65,23 @@ def synthetic_crops(limit: int, size: int) -> np.ndarray:
                     ).astype(np.float32)
 
 
-def calibration_crops(limit: int, size: int) -> np.ndarray:
+def calibration_crops(limit: int, size: int,
+                      include_megadepth: bool = True) -> np.ndarray:
     """Training-split frames only; cap via round-robin over frames so
-    the set spans many scenes rather than many crops of one."""
+    the set spans many scenes rather than many crops of one.
+    ``include_megadepth=False`` = KITTI train-split only — the right
+    calibration content for the v5.6-import artifacts, which fine-tuned
+    on megadepth (its err_out there is memorization-small) but never saw
+    any of these KITTI frames."""
     per_frame = []
     for f in sorted(os.listdir(KITTI_DIR)):
         if f in HELD_OUT:
             continue
         per_frame.append(crops_from(os.path.join(KITTI_DIR, f), size))
-    for f in sorted(os.listdir(MEGADEPTH_DIR)):
-        per_frame.append(crops_from(os.path.join(MEGADEPTH_DIR, f), size))
+    if include_megadepth:
+        for f in sorted(os.listdir(MEGADEPTH_DIR)):
+            per_frame.append(crops_from(os.path.join(MEGADEPTH_DIR, f),
+                                        size))
     crops, i = [], 0
     while len(crops) < limit and any(per_frame):
         row = per_frame[i % len(per_frame)]
@@ -124,12 +131,15 @@ def main():
     ap.add_argument("--band-kernel", type=int, default=None,
                     help="band-split Gaussian kernel size (bands=2)")
     ap.add_argument("--calibration", default="train",
-                    choices=("train", "synthetic"),
+                    choices=("train", "synthetic", "kitti"),
                     help="calibration content: 'train' = training-split "
                          "KITTI+megadepth frames; 'synthetic' = unseen "
                          "dead-leaves/pink-noise scenes (see "
                          "synthetic_crops — avoids the memorization "
-                         "bias of training frames)")
+                         "bias of training frames); 'kitti' = KITTI "
+                         "train-split only (unseen content for the "
+                         "v5.6-import artifacts, which trained on "
+                         "megadepth)")
     args = ap.parse_args()
 
     if args.platform:
@@ -143,7 +153,9 @@ def main():
     den = bid.load_model(args.model, blend=False)
     cal = (synthetic_crops(args.limit, args.size)
            if args.calibration == "synthetic"
-           else calibration_crops(args.limit, args.size))
+           else calibration_crops(
+               args.limit, args.size,
+               include_megadepth=args.calibration == "train"))
     print(f"calibration crops: {cal.shape}", flush=True)
     kw = {"bands": args.bands}
     if args.band_nsig is not None:
