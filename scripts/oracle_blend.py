@@ -72,6 +72,20 @@ def main():
             a1 = _optimal_alpha(err_in, err_out, 101)
             m1 = float(np.abs(a1 * err_out + (1 - a1) * err_in).mean())
             row["oracle_1band"] = {"alpha": a1, "mae": round(m1, 3)}
+            # per-image oracle: one alpha per crop — the bound for any
+            # per-image adaptive scheme (e.g. SURE-weighted blending)
+            per_img = []
+            alphas_img = []
+            for i in range(err_in.shape[0]):
+                ai = _optimal_alpha(err_in[i:i + 1], err_out[i:i + 1], 101)
+                alphas_img.append(ai)
+                per_img.append(float(np.abs(
+                    ai * err_out[i:i + 1]
+                    + (1 - ai) * err_in[i:i + 1]).mean()))
+            row["oracle_1band_per_image"] = {
+                "mae": round(float(np.mean(per_img)), 3),
+                "alpha_min": round(float(np.min(alphas_img)), 2),
+                "alpha_max": round(float(np.max(alphas_img)), 2)}
             d = err_out - err_in
             for k, nsig in ((5, 2.0), (9, 3.0), (13, 4.0)):
                 dl = np.asarray(gaussian_blur(

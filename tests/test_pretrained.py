@@ -148,6 +148,7 @@ def test_acceptance_gate_all_kitti_full_sweep():
             f"SSIM not improved at std {std}"
 
 
+@pytest.mark.slow  # full-frame x multi-sigma gate: ~4-5 min each
 @pytest.mark.skipif(not os.path.isdir(KITTI_DIR),
                     reason="KITTI test frames not mounted")
 def test_shipped_scratch_resnet_kitti_gate():
@@ -179,6 +180,7 @@ def test_shipped_scratch_resnet_kitti_gate():
             f"std {std}: MAE {mae_d:.2f} drifted from recorded {rec}"
 
 
+@pytest.mark.slow  # full-frame x multi-sigma gate: ~4-5 min each
 @pytest.mark.skipif(not os.path.isdir(KITTI_DIR),
                     reason="KITTI test frames not mounted")
 def test_shipped_tpu_flagship_kitti_gate():
@@ -210,6 +212,7 @@ def test_shipped_tpu_flagship_kitti_gate():
             f"std {std}: MAE {mae_d:.2f} drifted from recorded {rec}"
 
 
+@pytest.mark.slow  # full-frame x multi-sigma gate: ~4-5 min each
 @pytest.mark.skipif(not os.path.isdir(KITTI_DIR),
                     reason="KITTI test frames not mounted")
 def test_shipped_highnoise_artifact_kitti_gate():
