@@ -29,6 +29,30 @@ Because alpha enters linearly, the blended denoiser's exact adaptive
 filter (analysis.py) is alpha * F_model + (1 - alpha) * identity — the
 interpretability story composes.
 
+Per-image ADAPTIVE refinement (round 5): a single alpha per noise level
+cannot adapt to content difficulty — the per-image MAE-optimal alpha
+spans [0.02, 0.98] across crops at sigma=5 (scripts/oracle_blend.py),
+because on textured content the model destroys detail (want alpha low)
+while on smooth content it cleanly denoises (want alpha high). The
+MSE-optimal per-image weight has a closed blind form: with d = y - x
+and err(alpha) = n + alpha*d,
+
+    alpha* = -<n, d> / ||d||^2
+           = (N*sigma^2 - <n, y>) / ||d||^2      (<n, x> = N*sigma^2)
+           = N*sigma^2 (1 - rho) / ||d||^2,      rho = <n, y>/(N*sigma^2)
+
+where rho — the denoiser's noise-retention factor (Stein/SURE: E<n,y> =
+sigma^2 E[div y]) — is a property of the FILTER, nearly content-
+independent, so it calibrates offline per artifact instead of needing
+the Monte-Carlo divergence probe (no extra forward pass at serving).
+The served weight is alpha_i = clip(C(sigma_hat_i) * N * sigma_hat_i^2
+/ ||d_i||^2, 0, 1), with C(.) one calibrated curve folding rho, the
+sigma_hat estimator bias, AND the MSE->MAE correction (fit by direct
+grid search like the global mode). The per-image signal enters through
+||d_i||^2: large model-induced change at a given sigma_hat means
+detail destruction, driving alpha down exactly as the oracle does.
+Tables with a ``coef`` array serve this adaptive path.
+
 Two-band refinement (round 4): a single global alpha must trade the
 WHOLE image between input and model, but the two error sources live at
 different frequencies — white readout noise is spectrally flat while
@@ -77,6 +101,7 @@ class BlendTable:
     def __init__(self, sigma_knots: Sequence[float],
                  alpha_knots: Sequence[float],
                  alpha_low_knots: Optional[Sequence[float]] = None,
+                 coef_knots: Optional[Sequence[float]] = None,
                  meta: Optional[Dict] = None):
         s = np.asarray(sigma_knots, np.float32)
         a = np.asarray(alpha_knots, np.float32)
@@ -91,9 +116,19 @@ class BlendTable:
                 raise ValueError(
                     f"alpha_low knots {al.shape} must match sigma_hat "
                     f"knots {s.shape}")
+        co = None
+        if coef_knots is not None:
+            co = np.asarray(coef_knots, np.float32)
+            if co.shape != s.shape:
+                raise ValueError(
+                    f"coef knots {co.shape} must match sigma_hat "
+                    f"knots {s.shape}")
+            if np.any(co < 0.0):
+                raise ValueError("coef knots must be >= 0")
         order = np.argsort(s, kind="stable")
         s, a = s[order], a[order]
         al = al[order] if al is not None else None
+        co = co[order] if co is not None else None
         if not np.all(np.diff(s) >= 0):
             raise ValueError("sigma_hat knots must be sortable")
         if np.any((a < 0.0) | (a > 1.0)) or (
@@ -102,6 +137,7 @@ class BlendTable:
         self.sigma_knots = s
         self.alpha_knots = a
         self.alpha_low_knots = al
+        self.coef_knots = co
         self.meta = dict(meta or {})
         est = self.meta.setdefault("estimator", ESTIMATOR)
         if est != ESTIMATOR:
@@ -117,9 +153,10 @@ class BlendTable:
         if isinstance(spec, dict):
             return cls(spec["sigma_hat"], spec["alpha"],
                        alpha_low_knots=spec.get("alpha_low"),
+                       coef_knots=spec.get("coef"),
                        meta={k: v for k, v in spec.items()
                              if k not in ("sigma_hat", "alpha",
-                                          "alpha_low")})
+                                          "alpha_low", "coef")})
         if isinstance(spec, (str, os.PathLike)):
             path = str(spec)
             if os.path.isdir(path):
@@ -134,6 +171,8 @@ class BlendTable:
         d["alpha"] = [float(v) for v in self.alpha_knots]
         if self.alpha_low_knots is not None:
             d["alpha_low"] = [float(v) for v in self.alpha_low_knots]
+        if self.coef_knots is not None:
+            d["coef"] = [float(v) for v in self.coef_knots]
         return d
 
     def save(self, path: str) -> str:
@@ -180,6 +219,20 @@ class BlendTable:
         x = lax.optimization_barrier(x)
         s_hat = estimate_sigma(x)
         shape = (-1,) + (1,) * (y.ndim - 1)
+        if self.coef_knots is not None:
+            # per-image ADAPTIVE weight (module docstring): alpha_i =
+            # clip(C(s_hat_i) * N * s_hat_i^2 / ||y_i - x_i||^2, 0, 1).
+            # ||d||^2 is the per-image signal: at a given s_hat, a large
+            # model-induced change means detail destruction -> alpha
+            # drops; a change of exactly noise scale -> alpha ~ 1.
+            d = (y - x).astype(jnp.float32)
+            n_px = float(np.prod(d.shape[1:]))
+            dd = jnp.sum(jnp.square(d), axis=tuple(range(1, d.ndim)))
+            c = jnp.interp(s_hat, jnp.asarray(self.sigma_knots),
+                           jnp.asarray(self.coef_knots))
+            r = n_px * jnp.square(s_hat) / jnp.maximum(dd, 1e-6)
+            a = jnp.clip(c * r, 0.0, 1.0).reshape(shape).astype(y.dtype)
+            return a * y + (1.0 - a) * x
         a = self.alpha(s_hat).reshape(shape).astype(y.dtype)
         if self.alpha_low_knots is None:
             return a * y + (1.0 - a) * x
@@ -258,7 +311,8 @@ def calibrate_blend(
         alpha_grid: int = 101,
         bands: int = 1,
         band_kernel: int = BAND_KERNEL,
-        band_nsig: float = BAND_NSIG) -> BlendTable:
+        band_nsig: float = BAND_NSIG,
+        adaptive: bool = False) -> BlendTable:
     """Calibrate alpha(sigma_hat) for one artifact.
 
     float_forward: the Denoiser's ``float_forward`` (no rounding — the
@@ -270,7 +324,12 @@ def calibrate_blend(
     record the mean measured sigma_hat and the MAE-optimal alpha; knots
     are (sigma_hat, alpha) pairs. Dense stds at the low end, where the
     curve transitions. ``bands=2`` calibrates independent low/high-band
-    curves around the depthwise-Gaussian split (module docstring)."""
+    curves around the depthwise-Gaussian split (module docstring).
+    ``adaptive=True`` calibrates the per-image mode instead: per level,
+    the scalar C minimizing the calibration MAE of
+    alpha_i = clip(C * N * sigma_hat_i^2 / ||d_i||^2, 0, 1) — the
+    blind MSE-optimal weight with noise retention, estimator bias, and
+    the MSE->MAE correction folded into C (module docstring)."""
     import jax.random as jrandom
     from ..ops.gaussian import gaussian_blur
     from ..ops.noise import corrupt_batch_fixed_std
@@ -278,8 +337,10 @@ def calibrate_blend(
 
     if bands not in (1, 2):
         raise ValueError(f"bands must be 1 or 2, got {bands}")
+    if adaptive and bands != 1:
+        raise ValueError("adaptive mode is single-band")
     clean = np.asarray(images, np.float32)
-    sig_knots, a_knots, al_knots, records = [], [], [], []
+    sig_knots, a_knots, al_knots, co_knots, records = [], [], [], [], []
     for i, std in enumerate(sorted(set(float(s) for s in stds))):
         if std > 0:
             noisy = np.clip(np.asarray(corrupt_batch_fixed_std(
@@ -294,7 +355,29 @@ def calibrate_blend(
         rec = {"std": std, "sigma_hat": s_hat,
                "mae_noisy": float(np.abs(err_in).mean()),
                "mae_model": float(np.abs(err_out).mean())}
-        if bands == 1:
+        if adaptive:
+            s_hat_i = np.asarray(estimate_sigma(jnp.asarray(noisy)),
+                                 np.float32)           # per image [B]
+            d = err_out - err_in                       # = y - x
+            n_px = float(np.prod(d.shape[1:]))
+            dd = np.maximum((d * d).sum(axis=(1, 2, 3)), 1e-6)
+            r_i = n_px * s_hat_i ** 2 / dd             # observable
+            sh = (-1,) + (1,) * (d.ndim - 1)
+            best_c, best_m = 0.0, np.inf
+            # C* would be ~1 if MSE-optimal, unbiased and MAE==MSE; the
+            # grid spans the corrections both ways
+            for cand in np.linspace(0.0, 3.0, 301, dtype=np.float32):
+                a_i = np.clip(cand * r_i, 0.0, 1.0).reshape(sh)
+                m = float(np.abs(err_in + a_i * d).mean())
+                if m < best_m:
+                    best_c, best_m = float(cand), m
+            co_knots.append(best_c)
+            a = float(np.clip(best_c * r_i, 0.0, 1.0).mean())
+            al = None
+            rec["mae_blend"] = best_m
+            rec["coef"] = best_c
+            rec["r_mean"] = float(r_i.mean())
+        elif bands == 1:
             a = _optimal_alpha(err_in, err_out, alpha_grid)
             al = None
         else:
@@ -316,7 +399,9 @@ def calibrate_blend(
         logger.info(
             f"calibrate std {std:g}: sigma_hat {s_hat:.2f} alpha* {a:.2f}"
             + (f" alpha_low* {al:.2f} mae {rec['mae_blend']:.3f}"
-               if al is not None else ""))
+               if al is not None else "")
+            + (f" coef* {rec['coef']:.2f} mae {rec['mae_blend']:.3f}"
+               if adaptive else ""))
     meta = {"estimator": ESTIMATOR,
             "alpha_grid": alpha_grid,
             "seed": seed,
@@ -328,4 +413,5 @@ def calibrate_blend(
         meta["band_nsig"] = float(band_nsig)
     return BlendTable(sig_knots, a_knots,
                       alpha_low_knots=al_knots if bands == 2 else None,
+                      coef_knots=co_knots if adaptive else None,
                       meta=meta)

@@ -125,6 +125,11 @@ def main():
     ap.add_argument("--bands", type=int, default=1, choices=(1, 2),
                     help="2 = two-band (Gaussian-split) blend: "
                          "independent low/high alpha curves")
+    ap.add_argument("--adaptive", action="store_true",
+                    help="per-image adaptive mode: alpha_i = "
+                         "clip(C(sigma_hat)*N*sigma_hat^2/||y-x||^2) — "
+                         "the blind MSE-optimal per-image weight "
+                         "(inference/blend.py module docstring)")
     ap.add_argument("--band-nsig", type=float, default=None,
                     help="band-split Gaussian sigma (bands=2; default "
                          "inference/blend.py BAND_NSIG)")
@@ -157,7 +162,7 @@ def main():
                args.limit, args.size,
                include_megadepth=args.calibration == "train"))
     print(f"calibration crops: {cal.shape}", flush=True)
-    kw = {"bands": args.bands}
+    kw = {"bands": args.bands, "adaptive": args.adaptive}
     if args.band_nsig is not None:
         kw["band_nsig"] = args.band_nsig
     if args.band_kernel is not None:

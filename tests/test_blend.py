@@ -330,3 +330,83 @@ class TestLoadModelPlumbing:
 
         d_off = bid.load_model(str(art), blend=False)
         assert not np.array_equal(d_off(clean), clean)
+
+
+class TestAdaptiveMode:
+    """Per-image adaptive blend (round 5): alpha_i =
+    clip(C(sigma_hat_i) * N * sigma_hat_i^2 / ||y_i - x_i||^2, 0, 1)."""
+
+    def _table(self, coef=(1.0, 1.0)):
+        from blind_image_denoising_tpu.inference.blend import BlendTable
+        return BlendTable([2.0, 40.0], [0.5, 1.0], coef_knots=list(coef))
+
+    def test_serialization_round_trip(self):
+        from blind_image_denoising_tpu.inference.blend import BlendTable
+        t = self._table((0.8, 1.2))
+        d = t.to_dict()
+        assert d["coef"] == pytest.approx([0.8, 1.2])
+        t2 = BlendTable.from_any(d)
+        np.testing.assert_allclose(t2.coef_knots, t.coef_knots)
+
+    def test_identity_model_gets_alpha_one(self):
+        # y == x: ||d||^2 -> 0 so r -> inf, alpha clips to 1 and the
+        # served output is exactly y (= x) — no NaN from the 0 denom
+        import jax.numpy as jnp
+        t = self._table()
+        rng = np.random.default_rng(0)
+        x = rng.uniform(0, 255, (2, 32, 32, 3)).astype(np.float32)
+        out = np.asarray(t.apply(jnp.asarray(x), jnp.asarray(x)))
+        np.testing.assert_allclose(out, x, atol=1e-4)
+
+    def test_per_image_weights_differ(self):
+        # two images, same sigma_hat scale: the one whose model output
+        # changed MORE (detail destruction) must get the SMALLER alpha
+        import jax.numpy as jnp
+        t = self._table()
+        rng = np.random.default_rng(1)
+        # smooth base (low sigma_hat) + a little noise: sigma_hat ~ 2
+        g = np.mgrid[0:32, 0:32].sum(0).astype(np.float32) * 3.0
+        x = np.stack([np.stack([g, g, g], -1)] * 2)
+        x = np.clip(x + rng.normal(0, 2.0, x.shape), 0,
+                    255).astype(np.float32)
+        y = x.copy()
+        y[0] += rng.normal(0, 2.0, y[0].shape)    # noise-scale change
+        y[1] += rng.normal(0, 30.0, y[1].shape)   # detail destruction
+        out = np.asarray(t.apply(jnp.asarray(x), jnp.asarray(y)))
+        # recover effective alphas from the linear mix
+        a0 = np.nanmedian((out[0] - x[0]) / np.where(
+            np.abs(y[0] - x[0]) < 1e-3, np.nan, y[0] - x[0]))
+        a1 = np.nanmedian((out[1] - x[1]) / np.where(
+            np.abs(y[1] - x[1]) < 1e-3, np.nan, y[1] - x[1]))
+        assert a0 > a1 + 0.2, (a0, a1)
+        assert -1e-6 <= a1 <= a0 <= 1.0 + 1e-6
+
+    def test_calibrate_adaptive_recovers_identity_regime(self):
+        # model == identity denoiser that perfectly removes the noise:
+        # the optimal per-image alpha is 1 everywhere, the calibrated C
+        # must realize mean alpha ~1 and mae_blend ~0
+        from blind_image_denoising_tpu.inference.blend import (
+            calibrate_blend)
+        rng = np.random.default_rng(2)
+        clean = rng.uniform(40, 210, (4, 32, 32, 3)).astype(np.float32)
+
+        history = {}
+
+        def perfect(noisy):
+            # cheat via closure: return the clean images (a perfect
+            # denoiser) — calibration must then drive alpha -> 1
+            return history["clean"]
+
+        history["clean"] = clean
+        table = calibrate_blend(perfect, clean, stds=(10.0, 20.0),
+                                adaptive=True)
+        assert table.coef_knots is not None
+        rec = table.meta["levels"]
+        assert all(r["mae_blend"] < r["mae_noisy"] * 0.2 for r in rec)
+
+    def test_adaptive_rejects_two_band(self):
+        from blind_image_denoising_tpu.inference.blend import (
+            calibrate_blend)
+        with pytest.raises(ValueError, match="single-band"):
+            calibrate_blend(lambda v: v, np.zeros((1, 8, 8, 3)),
+                            stds=(5.0,), adaptive=True, bands=2)
