@@ -221,17 +221,24 @@ class BlendTable:
         shape = (-1,) + (1,) * (y.ndim - 1)
         if self.coef_knots is not None:
             # per-image ADAPTIVE weight (module docstring): alpha_i =
-            # clip(C(s_hat_i) * N * s_hat_i^2 / ||y_i - x_i||^2, 0, 1).
+            # max(alpha_floor(s_hat_i),
+            #     clip(C(s_hat_i) * N * s_hat_i^2 / ||y_i - x_i||^2)).
             # ||d||^2 is the per-image signal: at a given s_hat, a large
             # model-induced change means detail destruction -> alpha
-            # drops; a change of exactly noise scale -> alpha ~ 1.
+            # drops; a change of exactly noise scale -> alpha ~ 1. The
+            # jointly-calibrated floor (stored in the alpha knots)
+            # saturates to 1 at high sigma, where the model always wins
+            # and the r statistic does not transfer across content
+            # domains (measured: pure clip(C*r) regressed sigma>=20).
             d = (y - x).astype(jnp.float32)
             n_px = float(np.prod(d.shape[1:]))
             dd = jnp.sum(jnp.square(d), axis=tuple(range(1, d.ndim)))
             c = jnp.interp(s_hat, jnp.asarray(self.sigma_knots),
                            jnp.asarray(self.coef_knots))
             r = n_px * jnp.square(s_hat) / jnp.maximum(dd, 1e-6)
-            a = jnp.clip(c * r, 0.0, 1.0).reshape(shape).astype(y.dtype)
+            a = jnp.maximum(self.alpha(s_hat),
+                            jnp.clip(c * r, 0.0, 1.0))
+            a = a.reshape(shape).astype(y.dtype)
             return a * y + (1.0 - a) * x
         a = self.alpha(s_hat).reshape(shape).astype(y.dtype)
         if self.alpha_low_knots is None:
@@ -362,20 +369,29 @@ def calibrate_blend(
             n_px = float(np.prod(d.shape[1:]))
             dd = np.maximum((d * d).sum(axis=(1, 2, 3)), 1e-6)
             r_i = n_px * s_hat_i ** 2 / dd             # observable
-            sh = (-1,) + (1,) * (d.ndim - 1)
-            best_c, best_m = 0.0, np.inf
-            # C* would be ~1 if MSE-optimal, unbiased and MAE==MSE; the
-            # grid spans the corrections both ways
-            for cand in np.linspace(0.0, 3.0, 301, dtype=np.float32):
-                a_i = np.clip(cand * r_i, 0.0, 1.0).reshape(sh)
-                m = float(np.abs(err_in + a_i * d).mean())
-                if m < best_m:
-                    best_c, best_m = float(cand), m
+            # per-image MAE as a function of alpha, precomputed once on
+            # a grid — then the joint (floor g, coef C) search is pure
+            # table lookups (alpha_i = max(g, clip(C * r_i)))
+            agrid = np.linspace(0.0, 1.0, alpha_grid, dtype=np.float32)
+            mae_tab = np.stack([
+                np.abs(err_in[j][None] + agrid[:, None, None, None]
+                       * d[j][None]).mean(axis=(1, 2, 3))
+                for j in range(d.shape[0])])           # [B, grid]
+            best = (0.0, 0.0, np.inf)                  # (g, C, mae)
+            for g in np.linspace(0.0, 1.0, 51):
+                for cand in np.linspace(0.0, 3.0, 61):
+                    a_i = np.maximum(g, np.clip(cand * r_i, 0.0, 1.0))
+                    idx = np.round(a_i * (alpha_grid - 1)).astype(int)
+                    m = float(mae_tab[np.arange(len(idx)), idx].mean())
+                    if m < best[2]:
+                        best = (float(g), float(cand), m)
+            g, best_c, best_m = best
             co_knots.append(best_c)
-            a = float(np.clip(best_c * r_i, 0.0, 1.0).mean())
+            a = g                                      # the floor knot
             al = None
             rec["mae_blend"] = best_m
             rec["coef"] = best_c
+            rec["alpha_floor"] = g
             rec["r_mean"] = float(r_i.mean())
         elif bands == 1:
             a = _optimal_alpha(err_in, err_out, alpha_grid)
