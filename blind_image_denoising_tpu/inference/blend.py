@@ -386,6 +386,13 @@ def calibrate_blend(
                     if m < best[2]:
                         best = (float(g), float(cand), m)
             g, best_c, best_m = best
+            # saturation rule (declared a priori, in-sample only): when
+            # even the optimal (floor, C) buys < 0.005 MAE over the raw
+            # model on the calibration set, the blend has nothing to
+            # offer at this level — pin alpha to 1 (exact model output)
+            # rather than letting an overfit C wobble held-out content
+            if best_m >= rec["mae_model"] - 0.005:
+                g, best_c = 1.0, 0.0
             co_knots.append(best_c)
             a = g                                      # the floor knot
             al = None
