@@ -310,7 +310,8 @@ def degrade_batch(
         jpeg_quality_range: Tuple[float, float] = (25.0, 75.0),
         quantization: int = -1,
         inpaint_drop_rate: float = 0.0,
-        degradation_prob: float = 0.5) -> jnp.ndarray:
+        degradation_prob: float = 0.5,
+        chain_prob: float = 1.0) -> jnp.ndarray:
     """The full corruption chain, physical-pipeline ordered: optics (blur)
     → sensor (multiplicative/additive noise, ops/noise.py semantics) →
     encoder (JPEG on the clipped signal) → bit depth (quantization) →
@@ -323,7 +324,18 @@ def degrade_batch(
     SUBSET of the enabled ops, so the train distribution spans
     mild-to-harsh instead of uniformly harsh — with k ops enabled a
     fraction (1−p)^k of samples stays degradation-free (noise aside),
-    preserving the near-clean regime."""
+    preserving the near-clean regime.
+
+    ``chain_prob`` is a per-sample MASTER gate ABOVE the per-op gates:
+    samples failing it receive ONLY the noise path (``corrupt_batch``
+    with the same noise key — the pure-denoising task, bit-identical
+    noise draw). Per-op gating alone leaves just (1−p)^k clean-class
+    samples (6% at p=0.5, k=4), which round 5 measured as identity
+    forgetting: the restoration fine-tune's σ=1 floor rose to 6.9 MAE
+    vs the donor's 0.9. At ``chain_prob`` c the clean class is a
+    guaranteed (1−c) fraction regardless of op count. The default 1.0
+    is bit-identical to the pre-round-5 stream (master flags drawn from
+    a ``fold_in`` of the caller's key, never from the 5-way split)."""
     k_blur, k_noise, k_jpeg, k_quant, k_inp = jax.random.split(key, 5)
     p = float(degradation_prob)
     noisy = clean
@@ -343,6 +355,17 @@ def degrade_batch(
     if inpaint_drop_rate and inpaint_drop_rate > 0.0:
         noisy = inpaint_dropout(k_inp, noisy, float(inpaint_drop_rate),
                                 prob=p)
+    c = float(chain_prob)
+    if c < 1.0:
+        noise_only = corrupt_batch(k_noise, clean,
+                                   additive_noise=additive_noise,
+                                   multiplicative_noise=multiplicative_noise,
+                                   round_values=False,
+                                   noise_sampling=noise_sampling)
+        k_chain = jax.random.fold_in(key, 0x5EED)
+        flags = jax.random.uniform(
+            k_chain, (clean.shape[0], 1, 1, 1)) < c
+        noisy = jnp.where(flags, noisy, noise_only)
     if round_values:
         noisy = jnp.round(noisy)
     return noisy

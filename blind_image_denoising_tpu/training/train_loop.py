@@ -69,10 +69,16 @@ def resolve_degradation_options(dataset_config: Dict) -> Dict:
         # ungated holes on every sample wreck the mild-corruption regime)
         "degradation_prob": float(
             dataset_config.get("degradation_prob", 0.5)),
+        # master per-sample gate over the whole extended chain: samples
+        # failing it get the pure noise path (identity-skill anchor for
+        # restoration fine-tunes — ops/degradations.degrade_batch)
+        "degradation_chain_prob": float(
+            dataset_config.get("degradation_chain_prob", 1.0)),
     }
     neutral = {"random_rotate": 0.0, "use_random_blur": False,
                "use_jpeg_noise": False, "quantization": -1,
-               "inpaint_drop_rate": 0.0, "degradation_prob": 0.5}
+               "inpaint_drop_rate": 0.0, "degradation_prob": 0.5,
+               "degradation_chain_prob": 1.0}
     active = sorted(k for k, v in resolved.items()
                     if v != neutral[k]
                     and not (k == "quantization" and v <= 1))

@@ -48,6 +48,7 @@ def build_train_step(
         quantization: int = -1,
         inpaint_drop_rate: float = 0.0,
         degradation_prob: float = 0.5,
+        degradation_chain_prob: float = 1.0,
         round_values: bool = True,
         grad_accum: int = 1,
         remat: bool = False,
@@ -184,7 +185,8 @@ def build_train_step(
                 use_jpeg_noise=use_jpeg_noise,
                 quantization=quantization,
                 inpaint_drop_rate=inpaint_drop_rate,
-                degradation_prob=degradation_prob)
+                degradation_prob=degradation_prob,
+                chain_prob=degradation_chain_prob)
         elif use_pallas_noise:
             # fused single-pass TPU kernel (ops/pallas_noise.py); fold the
             # key into an int32 seed

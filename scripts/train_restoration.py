@@ -73,6 +73,16 @@ def main():
                          "so ~6%% of samples stay degradation-free "
                          "(noise aside) and every op sees a clean "
                          "contrast class")
+    ap.add_argument("--chain-prob", type=float, default=1.0,
+                    help="master per-sample gate over the WHOLE extended "
+                         "chain (ops/degradations.degrade_batch "
+                         "chain_prob): samples failing it get the pure "
+                         "noise path. The round-5a fine-tune (per-op "
+                         "gates only, ~6%% clean class) forgot identity "
+                         "(σ=1 floor 6.9 MAE vs donor 0.9) and lost to "
+                         "the corrupt input on every mild chain; 0.5 "
+                         "anchors half the batch on the donor's native "
+                         "task")
     ap.add_argument("--workdir", default="/tmp/restore_scratch")
     ap.add_argument("--resume", action="store_true",
                     help="keep the workdir and resume from its latest "
@@ -131,6 +141,7 @@ def main():
     cfg["dataset"]["quantization"] = 8             # posterize
     cfg["dataset"]["inpaint_drop_rate"] = 0.05     # per-pixel holes
     cfg["dataset"]["degradation_prob"] = args.degradation_prob
+    cfg["dataset"]["degradation_chain_prob"] = args.chain_prob
     cfg["train"]["epochs"] = -1
     cfg["train"]["total_steps"] = args.steps
     cfg["train"]["ema"] = 0.9995

@@ -215,6 +215,33 @@ def test_degrade_batch_chain_under_jit(kitti_crop):
     assert np.array_equal(out, np.round(out))  # round_values default
 
 
+def test_degrade_batch_chain_prob_master_gate(kitti_crop):
+    """chain_prob: samples failing the master gate get the PURE noise
+    path with the SAME noise draw; chain_prob=1.0 is bit-identical to
+    the pre-gate stream (fold_in key, never the 5-way split)."""
+    batch = jnp.asarray(np.stack([kitti_crop] * 16))
+    kwargs = dict(additive_noise=[1, 40], use_random_blur=True,
+                  use_jpeg_noise=True, quantization=4,
+                  inpaint_drop_rate=0.25, degradation_prob=1.0)
+    key = jax.random.PRNGKey(7)
+    full = np.asarray(degrade_batch(key, batch, **kwargs))
+    default = np.asarray(degrade_batch(key, batch, chain_prob=1.0, **kwargs))
+    assert np.array_equal(full, default)  # default path untouched
+
+    gated = np.asarray(degrade_batch(key, batch, chain_prob=0.5, **kwargs))
+    noise_only = np.asarray(degrade_batch(
+        key, batch, additive_noise=[1, 40], degradation_prob=1.0))
+    # every sample equals EITHER the full chain or the pure-noise path
+    is_full = np.array([np.array_equal(gated[i], full[i])
+                        for i in range(16)])
+    is_noise = np.array([np.array_equal(gated[i], noise_only[i])
+                         for i in range(16)])
+    assert np.all(is_full | is_noise)
+    # with holes ungated at 0.25 drop the two classes are distinguishable
+    # and both populated at this batch size w.h.p.
+    assert 0 < is_full.sum() < 16
+
+
 def test_train_step_with_all_degradations():
     """End-to-end: the jitted train step accepts every degradation option
     (the keys the reference only parses) and produces finite losses."""
@@ -275,7 +302,8 @@ def test_pallas_noise_conflicts_with_degradations():
 
 NEUTRAL = {"random_rotate": 0.0, "use_random_blur": False,
            "use_jpeg_noise": False, "quantization": -1,
-           "inpaint_drop_rate": 0.0, "degradation_prob": 0.5}
+           "inpaint_drop_rate": 0.0, "degradation_prob": 0.5,
+           "degradation_chain_prob": 1.0}
 
 
 def test_degradations_inert_without_opt_in_for_every_shipped_config():
@@ -301,10 +329,15 @@ def test_degradations_resolve_with_opt_in():
     assert resolve_degradation_options(ds) == {
         "random_rotate": 0.5, "use_random_blur": True,
         "use_jpeg_noise": True, "quantization": 8,
-        "inpaint_drop_rate": 0.05, "degradation_prob": 0.5}
+        "inpaint_drop_rate": 0.05, "degradation_prob": 0.5,
+        "degradation_chain_prob": 1.0}
     # the per-sample gate is configurable
     assert resolve_degradation_options(
         dict(ds, degradation_prob=0.35))["degradation_prob"] == 0.35
+    # ... and so is the chain-level master gate
+    assert resolve_degradation_options(
+        dict(ds, degradation_chain_prob=0.5))[
+            "degradation_chain_prob"] == 0.5
     # opt-in with no keys set stays neutral
     assert resolve_degradation_options({"apply_degradations": True}) \
         == NEUTRAL
