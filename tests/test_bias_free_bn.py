@@ -117,6 +117,7 @@ def test_unet_laplacian_rejects_bias_free():
         m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
 
 
+@pytest.mark.slow  # full train->export->load CLI roundtrip (~40 s)
 def test_bias_free_train_export_load_roundtrip(tmp_path):
     """The full pipeline accepts the mode: train 2 steps, export, load,
     serve — and the artifact's batch_stats round-trip."""

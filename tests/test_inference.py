@@ -224,6 +224,7 @@ def test_load_exported_model_honors_compute_dtype(tmp_path):
         out2, dtype="bfloat16")._model.dtype == jnp.bfloat16
 
 
+@pytest.mark.slow  # imports TF (~30 s); interchange covered in test-all
 def test_tflite_emission_round_trip(tmp_path):
     """serialize_tflite must emit a flatbuffer the reference ecosystem
     can deploy: loadable by the TFLite interpreter at ANY size (the
@@ -268,6 +269,7 @@ def test_tflite_emission_round_trip(tmp_path):
             f"tflite interpreter drift at {shape}"
 
 
+@pytest.mark.slow  # imports TF (~30 s); interchange covered in test-all
 def test_savedmodel_round_trip(tmp_path):
     """SavedModel interchange (reference __init__.py:88-90): export a
     reference-style SavedModel (uint8 [1,None,None,C] DenoiserModule

@@ -4,6 +4,7 @@ import json
 import os
 
 import numpy as np
+import pytest
 
 from blind_image_denoising_tpu.training.metrics import MetricsWriter
 from blind_image_denoising_tpu.training.profiling import StepTimer, annotate
@@ -99,6 +100,7 @@ def test_grad_stats_metrics_and_boxplot():
         plt.close(fig)
 
 
+@pytest.mark.slow  # visualization-on demo train run (~21 s)
 def test_gradient_figures_logged_in_train_loop(tmp_path):
     """A demo train run with visualization on writes gradients/... scalars
     to metrics.jsonl (figure goes to TB when available)."""

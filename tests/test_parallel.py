@@ -123,6 +123,7 @@ def test_dp_train_step_matches_single_device(use_bn):
                                        rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow  # ~60 s; the driver itself runs dryrun_multichip every round
 def test_graft_entry_dryrun():
     """The driver's multichip dry run must pass on the virtual mesh."""
     import sys
@@ -266,7 +267,12 @@ def test_dataset_builder_process_sharding(tmp_path):
     assert seen[0] != seen[1]
 
 
-@pytest.mark.parametrize("backbone", ["resnet", "unet_laplacian"])
+@pytest.mark.parametrize("backbone", [
+    "resnet",
+    # the flagship variant costs ~43 s; the resnet one (~13 s) keeps the
+    # spatial-training contract in the default tier
+    pytest.param("unet_laplacian", marks=pytest.mark.slow),
+])
 def test_spatial_training_matches_single_device(backbone):
     """Spatially-parallel TRAINING: the batch's H dim sharded over the
     'spatial' mesh axis (GSPMD auto-halo for convs/pools/resizes) must
