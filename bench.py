@@ -198,8 +198,12 @@ def bench_train_step(jax, cfg):
 
     result = bm.time_chain_slope(make_chain, (state, batch),
                                  k_values=K_VALUES, reps=REPS)
+    # roofline probe must return the FULL new state: returning just
+    # .step lets XLA dead-code-eliminate the whole update and the byte
+    # count collapses to ~0 (BENCH_r05 draft showed a 5e9 img/s
+    # "roofline" exactly that way)
     single = jax.jit(
-        lambda st, b: step_fn(st, b, jax.random.PRNGKey(7), dw)[0].step)
+        lambda st, b: step_fn(st, b, jax.random.PRNGKey(7), dw)[0])
     roof = bm.roofline_check(result["unit_s"],
                              bm.cost_bytes(single, state, batch))
     return _emit("unet_laplacian_v6_tpu_128px_train_step",
