@@ -145,7 +145,10 @@ def main():
     cfg["train"]["epochs"] = -1
     cfg["train"]["total_steps"] = args.steps
     cfg["train"]["ema"] = 0.9995
-    cfg["train"]["checkpoint_every"] = 5000
+    # 2500, not 5000: the tunnel can wedge mid-run (axon-conn-read blocks
+    # forever) and the recovery path is kill + --resume from the latest
+    # checkpoint — halving the cadence halves the worst-case replay
+    cfg["train"]["checkpoint_every"] = 2500
     cfg["train"]["visualization_every"] = -1
     cfg["train"]["use_test_images"] = False
     cfg["train"]["log_every"] = 50
